@@ -1,0 +1,58 @@
+"""Pipeline configuration.
+
+The reference's only user-extension surface is ~20 env vars
+(/root/reference/lib/config/main.go:13-36); we keep the same idea as a
+dataclass.  Each field cites the reference knob it generalizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Configuration for the CDC ingest pipeline.
+
+    Attributes mirror reference knobs where one exists:
+
+    - ``num_partitions``     ≙ WriteParallelism (lib/config/main.go:160-189) but
+      decoupled from worker count: the partition→state mapping must be stable
+      across cluster sizes, so P is fixed, not ``len(cluster)``.
+    - ``denylist``           ≙ the denylist sync.Map (lib/denylist/*) — a set of
+      denied conv_ids (reference: database names), applied pre-parse.
+    - ``v2_deep``            ≙ OTR_OPLOG_V2_EXTRACT_SUBFIELD_CHANGES
+      (lib/config/main.go:135-144): deep (recursive dotted-path) vs shallow
+      changed-field extraction for v2 update specs.
+    - ``window_us``          — resumable ingest window width; generalizes the
+      tail window between checkpoint flushes (OTR_TIMESTAMP_FLUSH_INTERVAL,
+      lib/config/main.go:68-75).
+    - ``max_catch_up_us``    ≙ OTR_MAX_CATCH_UP (lib/config/main.go:83-86):
+      if the resume watermark is further behind than this, optionally skip to
+      the end of the log instead of replaying (None = always replay; our
+      default — batch replays are always safe because dedup is TTL-free).
+    - ``batch_size``         ≙ OTR_REDIS_BATCH_SIZE (lib/config/main.go:221-225),
+      but sized for Arrow blocks, not Redis pipelines.
+    - ``salt_rows_threshold``— hot-partition salting: a partition-window group
+      larger than this is folded in ts-contiguous sub-chunks (salts) that are
+      combined in deterministic salt order (north_rule skew requirement).
+    """
+
+    num_partitions: int = 32
+    payload_cols: tuple[str, ...] = ("role", "text", "tool")
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    denylist: frozenset[str] = field(default_factory=frozenset)
+    v2_deep: bool = False
+    window_us: int = 3_600_000_000  # 1 hour of event time per window
+    max_catch_up_us: int | None = None
+    batch_size: int = 65_536
+    parse_concurrency: int | None = None  # None → let Ray size the stateless stage
+    apply_concurrency: tuple[int, int] | None = None
+    salt_rows_threshold: int = 200_000
+    salt_chunks: int = 16
+    errors_to_deadletter: bool = True
+
+    def with_denylist(self, denied: set[str]) -> "PipelineConfig":
+        from dataclasses import replace
+
+        return replace(self, denylist=frozenset(denied))

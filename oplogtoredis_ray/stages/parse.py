@@ -1,0 +1,175 @@
+"""Parse/normalize stage — M1-M9 as one vectorized Arrow batch transform.
+
+≙ the reference chain unmarshalEntryMetadata → denylist → parseRawOplogEntry
+→ processOplogEntry (/root/reference/lib/oplog/tail.go:606-677, 619-627,
+680-766; lib/oplog/processor.go:23-117), collapsed into a single zero-copy
+``map_batches(ParseStage, batch_format="pyarrow")`` stage:
+
+- envelope validation (M1): op ∈ {i,u,d}; non-null conv_id / turn_idx / ts;
+  malformed rows → dead-letter side output with a reason (M10), never a
+  crash (the reference drops + logs per entry — tail.go:442-507)
+- denylist filter (M2): broadcast frozenset membership on conv_id
+- changed-fields (M7 analog on the transcript payload): for ``u`` the named
+  non-null payload columns; for ``i`` all present columns; for ``d`` empty
+  (lib/oplog/processor_test.go:143-167)
+- partition assignment (P1/P2): stable sha256-based hash of conv_id mod P
+
+ParseStage is a callable class so it can run as an actor pool
+(``map_batches(ParseStage(cfg), concurrency=N)``) with per-actor setup done
+once in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from oplogtoredis_ray.config import PipelineConfig
+from oplogtoredis_ray.functions.sharding import partition_ids_for_array
+
+VALID_OPS = ("i", "u", "d")
+
+
+def _changed_fields_list(
+    table: pa.Table, op: np.ndarray, payload_cols: tuple[str, ...]
+) -> pa.ListArray:
+    """Vectorized list<string> of changed field names per row: the non-null
+    payload columns for i/u, empty for d (the "f" array of the message
+    contract, processor.go:25-32)."""
+    n = len(table)
+    masks = np.zeros((n, len(payload_cols)), dtype=bool)
+    iu = (op == "i") | (op == "u")
+    for k, c in enumerate(payload_cols):
+        if c in table.column_names:
+            valid = pc.is_valid(table[c]).to_numpy(zero_copy_only=False)
+            masks[:, k] = valid & iu
+    rows, cols = np.nonzero(masks)  # row-major → values already row-grouped
+    counts = masks.sum(axis=1)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    names = np.array(payload_cols, dtype=object)
+    values = pa.array(names[cols], type=pa.string())
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+
+
+class ParseStage:
+    """Vectorized parse/normalize; emits the parsed-event schema plus
+    ``changed_fields`` and ``partition_id``; bad rows go to the dead-letter
+    directory as Parquet with a ``reason`` column."""
+
+    def __init__(self, cfg: PipelineConfig, deadletter_dir: str | None = None):
+        self.cfg = cfg
+        self.deadletter_dir = deadletter_dir
+        self.deny: frozenset[str] = cfg.denylist
+        self.payload_cols = tuple(cfg.payload_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return self._finalize(batch)
+
+        # ensure evolution columns exist (pre-evolution fragments lack `tool`)
+        for c in self.payload_cols:
+            if c not in batch.column_names:
+                batch = batch.append_column(c, pa.nulls(n, pa.string()))
+
+        op_valid = pc.is_in(batch["op"], value_set=pa.array(VALID_OPS))
+        key_valid = pc.and_(
+            pc.is_valid(batch["conv_id"]), pc.is_valid(batch["turn_idx"])
+        )
+        ts_valid = pc.is_valid(batch["ts"])
+        ok = pc.and_(pc.and_(pc.fill_null(op_valid, False), key_valid), ts_valid)
+        ok_np = ok.to_numpy(zero_copy_only=False)
+
+        if not ok_np.all():
+            bad = batch.filter(pc.invert(ok))
+            self._dead_letter(bad)
+            batch = batch.filter(ok)
+
+        if self.deny:
+            denied = pc.is_in(
+                batch["conv_id"], value_set=pa.array(sorted(self.deny))
+            )
+            keep = pc.invert(pc.fill_null(denied, False))
+            batch = batch.filter(keep)
+
+        return self._finalize(batch)
+
+    def _finalize(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        for c in self.payload_cols:
+            if c not in batch.column_names:
+                batch = batch.append_column(c, pa.nulls(n, pa.string()))
+        if n == 0:
+            batch = batch.append_column(
+                "changed_fields", pa.array([], type=pa.list_(pa.string()))
+            )
+            batch = batch.append_column("partition_id", pa.array([], type=pa.int32()))
+        else:
+            op = batch["op"].to_numpy(zero_copy_only=False)
+            cf = _changed_fields_list(batch, op, self.payload_cols)
+            batch = batch.append_column("changed_fields", cf)
+            pids = partition_ids_for_array(batch["conv_id"], self.cfg.num_partitions)
+            batch = batch.append_column("partition_id", pa.array(pids, type=pa.int32()))
+        # canonical column order so unioned mixed-schema fragments line up
+        order = [
+            c
+            for c in ("ts", "seq", "tx_idx", "op", "conv_id", "turn_idx")
+            if c in batch.column_names
+        ]
+        order += [c for c in self.payload_cols if c in batch.column_names]
+        order += ["changed_fields", "partition_id"]
+        return batch.select(order)
+
+    def _dead_letter(self, bad: pa.Table) -> None:
+        if self.deadletter_dir is None or len(bad) == 0:
+            return
+        reasons = []
+        op = bad["op"].to_pylist()
+        conv = bad["conv_id"].to_pylist()
+        turn = bad["turn_idx"].to_pylist()
+        ts = bad["ts"].to_pylist()
+        for o, c, t, s in zip(op, conv, turn, ts):
+            if o not in VALID_OPS:
+                reasons.append(f"invalid op: {o!r}")
+            elif c is None or t is None:
+                reasons.append("missing key column")
+            elif s is None:
+                reasons.append("missing ts")
+            else:
+                reasons.append("malformed")
+        bad = bad.append_column("reason", pa.array(reasons, type=pa.string()))
+        os.makedirs(self.deadletter_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            bad, os.path.join(self.deadletter_dir, f"dl-{uuid.uuid4().hex}.parquet")
+        )
+
+
+def to_change_records(batch: pa.Table, num_partitions: int = 32) -> pa.Table:
+    """Project parsed events to the canonical change-record contract (≙
+    Publication, F3 in FIXTURES.md): channel = conv_id, second channel
+    conv_id::turn_idx derivable; event name maps d→r (processor.go:119-124);
+    doc_id is the stringified row key."""
+    event = pc.replace_substring_regex(batch["op"], "^d$", "r")
+    doc_id = pc.cast(batch["turn_idx"], pa.string())
+    channel2 = pc.binary_join_element_wise(batch["conv_id"], doc_id, "::")
+    out = pa.table(
+        {
+            "channel": batch["conv_id"],
+            "channel_doc": channel2,
+            "event": event,
+            "doc_id": doc_id,
+            "fields": batch["changed_fields"],
+            "ts": batch["ts"],
+            "seq": batch["seq"],
+            "tx_idx": batch["tx_idx"],
+            "partition_id": batch["partition_id"],
+        }
+    )
+    return out

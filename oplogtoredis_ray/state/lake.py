@@ -1,0 +1,95 @@
+"""Lake partition state IO.
+
+The lake is the materialized transcript table partitioned by
+``hash(conv_id) % P`` (P fixed, cluster-size-independent — ≙ the write-shard
+hash, /root/reference/lib/oplog/processor.go:89-96).  Each partition's
+current state is exactly one Parquet file named by the committing window;
+the manifest points at it, so partially written files from failed/retried
+tasks are invisible until the manifest rename commits (idempotence ≙ the
+Lua GET-before-SETEX arbiter, lib/redispub/publisher.go:41-62).
+
+Schema evolution: pre-evolution state files lack ``tool``; readers unify
+schemas and null-fill.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from oplogtoredis_ray.state.manifest import Manifest
+
+STATE_SCHEMA_BASE = {
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "role": pa.string(),
+    "text": pa.string(),
+    "tool": pa.string(),
+    "ts": pa.timestamp("us"),
+}
+
+
+def lake_partition_dir(lake_root: str, partition_id: int) -> str:
+    return os.path.join(lake_root, "lake", f"p={partition_id:05d}")
+
+
+def read_partition_state(lake_root: str, manifest: Manifest) -> pd.DataFrame:
+    """Current state of one partition as pandas (empty frame if none)."""
+    if manifest.state_file is None:
+        return pd.DataFrame(
+            {name: pd.Series(dtype="object") for name in STATE_SCHEMA_BASE}
+        )
+    path = os.path.join(lake_root, manifest.state_file)
+    table = pq.read_table(path)
+    df = table.to_pandas(types_mapper=None)
+    for col in STATE_SCHEMA_BASE:
+        if col not in df.columns:
+            df[col] = None
+    return df[list(STATE_SCHEMA_BASE)]
+
+
+def write_partition_state(
+    lake_root: str, partition_id: int, window_id: str, df: pd.DataFrame
+) -> tuple[str, int]:
+    """Write the new state file; returns (relative path, rows).  The file
+    name embeds the window id + a uniquifier so concurrent retried tasks
+    never collide; only the manifest rename makes one of them current."""
+    pdir = lake_partition_dir(lake_root, partition_id)
+    os.makedirs(pdir, exist_ok=True)
+    fname = f"state-{window_id}-{uuid.uuid4().hex[:8]}.parquet"
+    rel = os.path.join("lake", f"p={partition_id:05d}", fname)
+    table = pa.table(
+        {
+            "conv_id": pa.array(df["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(df["turn_idx"], type=pa.int32()),
+            "role": pa.array(df["role"], type=pa.string()),
+            "text": pa.array(df["text"], type=pa.string()),
+            "tool": pa.array(df["tool"], type=pa.string()),
+            "ts": pa.array(df["ts"], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, os.path.join(lake_root, rel))
+    return rel, len(df)
+
+
+def read_lake(lake_root: str):
+    """The whole lake as a Ray Dataset (one fragment per partition state
+    file, resolved through manifests so only committed files are read)."""
+    import ray.data as rd
+
+    from oplogtoredis_ray.state.manifest import read_all_manifests
+
+    files = [
+        os.path.join(lake_root, m.state_file)
+        for m in read_all_manifests(lake_root)
+        if m.state_file is not None
+    ]
+    if not files:
+        schema = pa.schema(STATE_SCHEMA_BASE)
+        return rd.from_arrow(schema.empty_table())
+    # partitioning=None: `p=NNNNN` dirs are state layout, not hive columns
+    return rd.read_parquet(files, partitioning=None)

@@ -1,0 +1,153 @@
+"""Per-partition checkpoint manifests — the durable truth.
+
+Generalizes the reference's Redis checkpoint design:
+
+- watermark ≙ ``lastProcessedEntry.<ordinal>`` written *after* successful
+  publish (/root/reference/lib/redispub/publisher.go:221-224, 319-357) —
+  here the manifest is committed atomically (tmp + rename) only after the
+  partition's new state file is durable, so data and checkpoint can never
+  disagree.
+- resume ≙ ``getStartTime``'s min-across-ordinals with fail-closed error
+  handling (lib/oplog/tail.go:514-588; lib/redispub/lastProcessedTime.go:38-53):
+  an unreadable manifest raises instead of silently skipping (the reference
+  aborts unless the OTR_RESUME_FROM_END_ON_FAILURE escape hatch is set).
+- dedup ≙ the Lua GET-before-SETEX keys ``processed::<ts64>::<txIdx>``
+  (lib/redispub/publisher.go:41-62, 315-317) — but TTL-free: the watermark
+  triple ``(ts_us, seq, tx_idx)`` compares totally, so replays of *any* age
+  are dropped (deliberate generalization of the 150 s dedup window; batch
+  replays can be arbitrarily delayed).
+
+Window-level lineage lives in ``_windows.json``: the driver appends a window
+after *all* its partitions committed; resume = end of the last completed
+window, and partially-applied windows are replayed idempotently (committed
+partitions skip via lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+Watermark = tuple[int, int, int]  # (ts_us, seq, tx_idx)
+
+ZERO_WATERMARK: Watermark = (-1, -1, -1)
+
+
+@dataclass
+class Manifest:
+    partition_id: int
+    watermark: Watermark = ZERO_WATERMARK
+    state_file: str | None = None  # relative to lake root
+    rows: int = 0
+    lineage: list[str] = field(default_factory=list)  # applied window ids
+    metrics: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "partition_id": self.partition_id,
+            "watermark": list(self.watermark),
+            "state_file": self.state_file,
+            "rows": self.rows,
+            "lineage": self.lineage,
+            "metrics": self.metrics,
+        }
+
+    @staticmethod
+    def from_json(obj: dict) -> "Manifest":
+        return Manifest(
+            partition_id=int(obj["partition_id"]),
+            watermark=tuple(obj["watermark"]),  # type: ignore[arg-type]
+            state_file=obj.get("state_file"),
+            rows=int(obj.get("rows", 0)),
+            lineage=list(obj.get("lineage", [])),
+            metrics=dict(obj.get("metrics", {})),
+        )
+
+
+class ManifestReadError(RuntimeError):
+    """Fail-closed: a present-but-unreadable checkpoint aborts the run
+    (≙ tail.go:543-570 abort-and-retry on persistent Redis failure)."""
+
+
+def _manifest_dir(lake_root: str) -> str:
+    return os.path.join(lake_root, "manifests")
+
+
+def manifest_path(lake_root: str, partition_id: int) -> str:
+    return os.path.join(_manifest_dir(lake_root), f"p-{partition_id:05d}.json")
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, separators=(",", ":"))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic commit
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_manifest(lake_root: str, partition_id: int) -> Manifest:
+    path = manifest_path(lake_root, partition_id)
+    if not os.path.exists(path):
+        return Manifest(partition_id=partition_id)
+    try:
+        with open(path) as f:
+            return Manifest.from_json(json.load(f))
+    except (json.JSONDecodeError, KeyError, ValueError, OSError) as e:
+        raise ManifestReadError(f"unreadable manifest {path}: {e}") from e
+
+
+def commit_manifest(lake_root: str, manifest: Manifest) -> None:
+    _atomic_write_json(manifest_path(lake_root, manifest.partition_id), manifest.to_json())
+
+
+def read_all_manifests(lake_root: str) -> list[Manifest]:
+    mdir = _manifest_dir(lake_root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("p-") and name.endswith(".json"):
+            pid = int(name[2:-5])
+            out.append(read_manifest(lake_root, pid))
+    return out
+
+
+# --- window lineage ----------------------------------------------------------
+
+
+def windows_path(lake_root: str) -> str:
+    return os.path.join(_manifest_dir(lake_root), "_windows.json")
+
+
+def read_completed_windows(lake_root: str) -> list[dict]:
+    path = windows_path(lake_root)
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            return json.load(f)["windows"]
+    except (json.JSONDecodeError, KeyError, OSError) as e:
+        raise ManifestReadError(f"unreadable window lineage {path}: {e}") from e
+
+
+def append_completed_window(lake_root: str, window_id: str, end_us: int, stats: dict) -> None:
+    windows = read_completed_windows(lake_root)
+    windows.append({"window_id": window_id, "end_us": end_us, "stats": stats})
+    _atomic_write_json(windows_path(lake_root), {"windows": windows})
+
+
+def resume_watermark(lake_root: str) -> int:
+    """Resume point in event-time microseconds: the end of the last fully
+    committed window, or -inf sentinel (-1) for a fresh lake."""
+    windows = read_completed_windows(lake_root)
+    if not windows:
+        return -1
+    return max(w["end_us"] for w in windows)

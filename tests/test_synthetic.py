@@ -1,0 +1,143 @@
+"""Generator + oracle invariants: determinism, per-key causality, duplicate /
+transaction / evolution knobs, and oracle sanity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from oplogtoredis_ray.sources.synthetic import (
+    EPOCH_US,
+    GeneratorSpec,
+    generate_event_log,
+    oracle_apply,
+    write_event_log,
+)
+
+SPEC = GeneratorSpec(seed=7, n_conversations=40, mean_turns=3, duplicate_rate=0.05)
+
+
+@pytest.fixture(scope="module")
+def log():
+    return generate_event_log(SPEC)
+
+
+def test_deterministic(log):
+    again = generate_event_log(SPEC)
+    pd.testing.assert_frame_equal(
+        log.reset_index(drop=True), again.reset_index(drop=True)
+    )
+
+
+def test_identity_and_order(log):
+    base = log.drop_duplicates(subset=["ts", "seq", "tx_idx"])
+    # identity triple unique after dedup; ts nondecreasing in applied order
+    ordered = base.sort_values(["ts", "seq", "tx_idx"])
+    assert (np.diff(ordered["ts"].to_numpy()) >= 0).all()
+    # duplicates exist and are exact copies of their originals
+    dups = log[log.duplicated(subset=["ts", "seq", "tx_idx"], keep="first")]
+    assert len(dups) > 0
+    merged = dups.merge(base, on=["ts", "seq", "tx_idx"], suffixes=("_d", ""))
+    for col in ["op", "conv_id", "turn_idx", "text"]:
+        assert (
+            merged[f"{col}_d"].fillna("§") == merged[col].fillna("§")
+        ).all()
+
+
+def test_per_key_causality(log):
+    ordered = log.drop_duplicates(subset=["ts", "seq", "tx_idx"]).sort_values(
+        ["ts", "seq", "tx_idx"]
+    )
+    for (conv, turn), grp in ordered.groupby(["conv_id", "turn_idx"]):
+        ops = "".join(grp["op"])
+        # first touch of a key is an insert; u/d only after i; reinsert after d
+        assert ops[0] == "i"
+        alive = False
+        for o in ops:
+            if o == "i":
+                alive = True
+            elif o == "u":
+                assert alive, f"update on dead key {conv}/{turn}: {ops}"
+            elif o == "d":
+                assert alive, f"delete on dead key {conv}/{turn}: {ops}"
+                alive = False
+
+
+def test_transactions_share_identity(log):
+    base = log.drop_duplicates(subset=["ts", "seq", "tx_idx"])
+    tx = base[base["tx_idx"] > 0]
+    assert len(tx) > 0
+    for (ts, seq), grp in base[base.duplicated(["ts", "seq"], keep=False)].groupby(
+        ["ts", "seq"]
+    ):
+        idxs = sorted(grp["tx_idx"].tolist())
+        assert idxs == list(range(len(idxs)))  # tx_idx 0..k contiguous
+
+
+def test_evolution_point(log):
+    evo = log.attrs["evo_ts"]
+    pre = log[log["ts"] < evo]
+    post = log[log["ts"] >= evo]
+    assert pre["tool"].isna().all()
+    assert post["tool"].notna().any()
+
+
+def test_write_files_schema_evolution(tmp_path, log):
+    paths = write_event_log(log, str(tmp_path / "events"))
+    assert len(paths) == SPEC.n_files
+    schemas = [pq.read_schema(p) for p in paths]
+    has_tool = ["tool" in s.names for s in schemas]
+    assert not has_tool[0]  # first file pre-evolution → no tool column
+    assert has_tool[-1]
+    total = sum(pq.read_metadata(p).num_rows for p in paths)
+    assert total == len(log)
+
+
+def test_oracle_semantics_small():
+    # hand-built mini log: insert, patch, delete, reinsert, dup, late update
+    rows = [
+        # ts, seq, tx, op, conv, turn, role, text, tool
+        (1, 0, 0, "i", "c0", 0, "user", "v0", None),
+        (2, 0, 0, "u", "c0", 0, None, "v1", None),
+        (2, 0, 0, "u", "c0", 0, None, "IGNORED-DUP", None),  # duplicate identity
+        (3, 0, 0, "d", "c0", 0, None, None, None),
+        (4, 0, 0, "i", "c0", 0, "tool", "v2", "toolX"),
+        (5, 0, 0, "u", "c9", 9, None, "orphan", None),  # update on missing row
+        (6, 0, 0, "i", "c1", 1, "user", "w0", None),
+        (6, 0, 1, "u", "c1", 1, None, "w1", None),  # same (ts,seq), tx order
+    ]
+    df = pd.DataFrame(
+        rows,
+        columns=["ts", "seq", "tx_idx", "op", "conv_id", "turn_idx", "role", "text", "tool"],
+    )
+    out = oracle_apply(df)
+    assert out.to_dict("records") == [
+        {"conv_id": "c0", "turn_idx": 0, "role": "tool", "text": "v2", "tool": "toolX", "ts": 4},
+        {"conv_id": "c1", "turn_idx": 1, "role": "user", "text": "w1", "tool": None, "ts": 6},
+    ]
+
+
+def test_oracle_denylist():
+    df = pd.DataFrame(
+        [
+            (1, 0, 0, "i", "bad", 0, "user", "x", None),
+            (2, 0, 0, "i", "good", 0, "user", "y", None),
+        ],
+        columns=["ts", "seq", "tx_idx", "op", "conv_id", "turn_idx", "role", "text", "tool"],
+    )
+    out = oracle_apply(df, denylist=frozenset(["bad"]))
+    assert out["conv_id"].tolist() == ["good"]
+
+
+def test_oracle_full_log_plausible(log):
+    final = oracle_apply(log)
+    assert len(final) > 0
+    assert final.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    # text versions monotone: last writer wins means version suffix from latest op
+    assert final["text"].str.startswith("t").all()
+    assert (final["ts"] >= EPOCH_US).all()
+
+
+def test_skew_exists(log):
+    counts = log["conv_id"].value_counts()
+    assert counts.iloc[0] > 5 * counts.median()

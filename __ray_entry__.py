@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship windowed exactly-once CDC replay of the synthetic
+  transcript log derived from sf0.001, returning the final lake Dataset.
+- ``queries()`` — one callable per implemented operator/pipeline from
+  SURVEY.md §2 (plus the training-data ops); each takes ``sf_dir``.
+- ``oracle_sql()`` — equivalent DuckDB SQL for each SQL-expressible query
+  (minhash/simhash clustering are rows-only by nature and are validated in
+  pytest on planted near-duplicates instead).
 """
 
 from __future__ import annotations
@@ -21,24 +20,22 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from oplogtoredis_ray.pipelines.queries import q_cdc_apply
+
+    return q_cdc_apply("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from oplogtoredis_ray.pipelines.queries import QUERIES, ensure_synth_log
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # the synthetic transcript log for the driver's sf0.01 comparison must
+    # exist before the oracle SQL (which reads the same files) can run
+    ensure_synth_log("/root/testdata/sf0.01")
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from oplogtoredis_ray.pipelines.queries import ensure_synth_log, oracle_sql_map
+
+    ensure_synth_log("/root/testdata/sf0.01")
+    return oracle_sql_map("sf0.01")

@@ -45,12 +45,21 @@ class PipelineConfig:
     v2_deep: bool = False
     window_us: int = 3_600_000_000  # 1 hour of event time per window
     max_catch_up_us: int | None = None
-    batch_size: int = 65_536
+    # None → map_batches consumes whole blocks (no re-batching); block size is
+    # governed by read_blocks.  Fewer, larger blocks keep the shuffle's
+    # piece count (map_blocks × reduce_blocks) small.
+    batch_size: int | None = None
+    # read output blocks per window; None → 2 × cluster CPUs
+    read_blocks: int | None = None
     parse_concurrency: int | None = None  # None → let Ray size the stateless stage
     apply_concurrency: tuple[int, int] | None = None
     salt_rows_threshold: int = 200_000
     salt_chunks: int = 16
     errors_to_deadletter: bool = True
+    # partition hash: "poly64" (vectorized numpy over Arrow buffers, default)
+    # or "sha256" (reference-parity P1, SQL-verifiable).  Both are stable and
+    # cluster-size-independent; the choice only changes the lake layout.
+    hash_algo: str = "poly64"
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

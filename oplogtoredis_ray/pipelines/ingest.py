@@ -43,6 +43,58 @@ from oplogtoredis_ray.state.manifest import (
 )
 
 
+def warmup_cluster(num_tasks: int | None = None) -> None:
+    """Pre-fault the worker pool: spawn workers, import the library and run
+    the hot kernels once per worker.  Steady-state throughput measurements
+    (bench.py) call this untimed; long-running ingest amortizes it anyway."""
+    import ray
+    import ray.data as rd
+
+    if num_tasks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_tasks = 2 * ncpu
+
+    def _touch(batch):
+        import time as _time
+
+        import numpy as np
+        import pyarrow as pa
+
+        from oplogtoredis_ray.config import PipelineConfig
+        from oplogtoredis_ray.stages.arrow_fold import fold_arrow, order_dedup_filter
+        from oplogtoredis_ray.stages.parse import ParseStage
+
+        # hold the worker briefly so the warmup fans out to EVERY worker
+        # process instead of a few fast ones absorbing all tasks
+        _time.sleep(0.4)
+        # pre-fault the allocator: large first-touch numpy allocations page-
+        # fault expensively under full-cluster concurrency (measured ~1s+)
+        scratch = np.ones(32 * 1024 * 1024 // 8, dtype=np.int64)
+        scratch += 1
+        del scratch
+
+        cfg = PipelineConfig(num_partitions=4)
+        t = pa.table(
+            {
+                "ts": pa.array(np.array([1, 2], dtype="int64"), type=pa.timestamp("us")),
+                "seq": pa.array([0, 0], type=pa.int32()),
+                "tx_idx": pa.array([0, 0], type=pa.int32()),
+                "op": pa.array(["i", "u"]),
+                "conv_id": pa.array(["w", "w"]),
+                "turn_idx": pa.array([0, 0], type=pa.int32()),
+                "role": pa.array(["user", None]),
+                "text": pa.array(["a", "b"]),
+                "tool": pa.array([None, None], type=pa.string()),
+            }
+        )
+        parsed = ParseStage(cfg)(t)
+        g, _, _ = order_dedup_filter(parsed, (-1, -1, -1))
+        fold_arrow(g)
+        return batch
+
+    rd.range(num_tasks, override_num_blocks=num_tasks).map_batches(_touch).count()
+
+
 @dataclass
 class IngestResult:
     windows_run: int = 0
@@ -71,8 +123,16 @@ def run_window(
     """Run one window as a single streaming Dataset pipeline; returns the
     per-partition stats frame (small)."""
     wid = window_id_for(start_us, end_us)
-    ds = read_event_window(log_dir, start_us, end_us)
+    blocks = cfg.read_blocks
+    if blocks is None:
+        import ray
+
+        blocks = 2 * int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 16
+    ds = read_event_window(log_dir, start_us, end_us, override_num_blocks=blocks)
     deadletter = f"{lake_root}/errors" if cfg.errors_to_deadletter else None
+    # stateless tasks: with the vectorized poly64 partition hash the stage
+    # holds no state worth amortizing (an actor pool here only added startup
+    # latency and capped concurrency — measured)
     parse_kwargs: dict = {}
     if cfg.parse_concurrency is not None:
         parse_kwargs["concurrency"] = cfg.parse_concurrency
@@ -84,7 +144,7 @@ def run_window(
     )
     apply_fn = make_apply_fn(lake_root, wid, cfg)
     stats_ds = ds.groupby("partition_id").map_groups(
-        apply_fn, batch_format="pandas"
+        apply_fn, batch_format="pyarrow"
     )
     stats = stats_ds.to_pandas()
     if len(stats) == 0:

@@ -1,0 +1,708 @@
+"""Operator-level query suite + matching DuckDB oracle SQL.
+
+One entry per implemented operator/pipeline from SURVEY.md §2, expressed
+over the driver's shared tables (events / documents / embeddings /
+lineitem) where SQL-expressible, plus the full CDC apply over the synthetic
+transcript log (whose oracle SQL reads the same log files directly).
+
+Column names are kept identical between the Ray implementation and the SQL
+so the driver's order-insensitive value-hash comparison matches; float
+outputs are either pass-through values (no arithmetic) or converted to
+exact integers to avoid cross-engine summation-order drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from oplogtoredis_ray.config import PipelineConfig
+from oplogtoredis_ray.functions.changed_fields import changed_fields
+from oplogtoredis_ray.functions.sharding import partition_ids_for_array
+
+NUM_PARTITIONS = 64
+SHARDS = 8
+
+# --- synthetic transcript log management -------------------------------------
+
+SYNTH_ROOT = "/tmp/otr_synth"
+_SF_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+
+def _sf_name(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return name if name in _SF_EVENTS else "sf0.01"
+
+
+def synth_spec_for(sf_name: str):
+    from oplogtoredis_ray.sources.synthetic import GeneratorSpec
+
+    target = _SF_EVENTS.get(sf_name, 50_000)
+    # zipf(1.4) turns capped at 60 → ≈55 events per conversation (measured);
+    # hot conversations are ~15× the median turn count (skew stays real)
+    return GeneratorSpec(
+        seed=42,
+        n_conversations=max(target // 55, 20),
+        mean_turns=3.0,
+        max_turns=60,
+        mean_updates=2.0,
+        duplicate_rate=0.02,
+        txn_rate=0.05,
+        n_files=8,
+    )
+
+
+def ensure_synth_log(sf_dir: str) -> str:
+    """Deterministically generate (once) the transcript event log for this
+    scale factor; returns the log directory."""
+    from oplogtoredis_ray.sources.synthetic import generate_event_log, write_event_log
+
+    name = _sf_name(sf_dir)
+    log_dir = os.path.join(SYNTH_ROOT, name, "events")
+    marker = os.path.join(SYNTH_ROOT, name, "_complete.json")
+    spec = synth_spec_for(name)
+    spec_key = json.dumps(spec.__dict__, sort_keys=True, default=str)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f).get("spec") == spec_key:
+                    return log_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+    import shutil
+
+    shutil.rmtree(log_dir, ignore_errors=True)
+    log = generate_event_log(spec)
+    write_event_log(log, log_dir)
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"spec": spec_key, "events": len(log)}, f)
+    os.replace(marker + ".tmp", marker)
+    return log_dir
+
+
+# --- readers -----------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
+    )
+
+
+# --- query implementations ---------------------------------------------------
+
+
+def q_window_read(sf_dir: str):
+    """S1: timestamp-window read with predicate pushdown + column pruning."""
+    lo = pa.scalar(pd.Timestamp("2024-01-10").value // 1000, type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("2024-01-20").value // 1000, type=pa.timestamp("us"))
+    flt = (pads.field("ts") > lo) & (pads.field("ts") <= hi)
+    return _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], filter=flt)
+
+
+def q_envelope_project(sf_dir: str):
+    """M1: raw-envelope projection + malformed-row filter."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["event_type"]), pc.is_valid(t["value"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_denylist_filter(sf_dir: str):
+    """M2: broadcast denylist anti-semi-join on the ordering key."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    # control-plane denylist: every user_id ≡ 3 (mod 7); built driver-side
+    # from a tiny distinct scan, shipped once inside the closure
+    uniq = ds.unique("user_id")
+    deny = pa.array(sorted(u for u in uniq if u % 7 == 3), type=pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.fill_null(pc.is_in(t["user_id"], value_set=deny), False))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_props_extract(sf_dir: str):
+    """M1 analog: raw field lookup without full deserialization — regex
+    extraction of one JSON key (≙ bson raw lookups, tail.go:603-606)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def q_tx_flatten(sf_dir: str):
+    """M4: transaction flattening as a vectorized flat_map — each event
+    explodes into tx children 0..(event_id mod 3) with monotone tx_idx."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        counts = (eid % 3) + 1
+        rep = np.repeat(eid, counts)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        tx = np.arange(counts.sum()) - np.repeat(offs, counts)
+        return pa.table(
+            {
+                "event_id": pa.array(rep, type=pa.int64()),
+                "tx_idx": pa.array(tx, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_partition_assign(sf_dir: str):
+    """P1/P2: stable sha256 partition key mod P over the ordering key."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        names = pc.cast(t["user_id"], pa.string())
+        pid = partition_ids_for_array(names, NUM_PARTITIONS)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "partition_id": pa.array(pid.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    """K3: exact dedup — first event per (user_id, event_type) in
+    (ts, event_id) order."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def first_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+        return g.rename(columns={"ts": "first_ts", "event_id": "first_event_id"})[
+            ["user_id", "event_type", "first_ts", "first_event_id"]
+        ]
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        first_of, batch_format="pandas"
+    )
+
+
+def q_shard_watermarks(sf_dir: str):
+    """K5/K7: per-shard watermark aggregates."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "shard", pc.cast(pc.bit_wise_and(t["user_id"], SHARDS - 1), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("shard").aggregate(
+        Min("ts", alias_name="min_ts"),
+        Max("ts", alias_name="max_ts"),
+        Count(alias_name="n"),
+    )
+
+
+def q_resume_point(sf_dir: str):
+    """S3: resume = min over per-shard max watermarks (the reference's
+    min-across-ordinals rule, lastProcessedTime.go:38-53)."""
+    per_shard = q_shard_watermarks(sf_dir).to_pandas()
+    return pd.DataFrame(
+        {
+            "resume_ts": [per_shard["max_ts"].min()],
+            "num_shards": [np.int64(len(per_shard))],
+        }
+    )
+
+
+def q_ordered_rank(sf_dir: str):
+    """Explicit per-partition ordering: rank within user_id by (ts, event_id)
+    — the order the reference assumes from $natural and we must create."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_id", "rank"]]
+
+    return ds.groupby("user_id").map_groups(rank, batch_format="pandas")
+
+
+def q_cdc_last_state(sf_dir: str):
+    """Flagship fold semantics over the shared events table: ops derived
+    deterministically from event_id; per (user_id, event_type) the engine's
+    insert/patch/delete fold must equal the SQL li/ld/arg_max construction."""
+    from oplogtoredis_ray.stages.fold import fold_events, sort_and_dedup
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        op = np.where(eid % 17 == 0, "d", np.where(eid % 5 == 0, "i", "u"))
+        return pa.table(
+            {
+                "ts": pc.cast(t["ts"], pa.int64()),
+                "seq": t["event_id"],
+                "tx_idx": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "op": pa.array(op, type=pa.string()),
+                "conv_id": t["user_id"],       # ordering unit (int key is fine)
+                "turn_idx": t["event_type"],   # row key within unit
+                "value": t["value"],
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def fold_group(g: pd.DataFrame) -> pd.DataFrame:
+        folded = fold_events(sort_and_dedup(g), payload_cols=("value",))
+        live = folded[folded["outcome"] == "upsert"]  # patch-only keys have no state
+        return pd.DataFrame(
+            {
+                "user_id": live["conv_id"].astype("int64"),
+                "event_type": live["turn_idx"],
+                "last_value": live["value"].astype("float64"),
+                "last_ts": pd.to_datetime(live["ts"].astype("int64"), unit="us"),
+            }
+        )
+
+    return tagged.groupby(["conv_id", "turn_idx"]).map_groups(
+        fold_group, batch_format="pandas"
+    )
+
+
+def q_interval_max(sf_dir: str):
+    """K7: IntervalMaxMetric — max value per hour bucket."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "bucket", pc.floor_temporal(t["ts"], unit="hour")
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("bucket").aggregate(
+        Max("value", alias_name="max_value"), Count(alias_name="n")
+    )
+
+
+def q_changed_fields_json(sf_dir: str):
+    """M7: the changed-fields kernel applied to JSON payload docs (top-level
+    keys, insert semantics)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def cf(t: pa.Table) -> pa.Table:
+        fields = [
+            ",".join(changed_fields("i", json.loads(p))) for p in t["props"].to_pylist()
+        ]
+        return pa.table(
+            {"event_id": t["event_id"], "changed_fields": pa.array(fields, type=pa.string())}
+        )
+
+    return ds.map_batches(cf, batch_format="pyarrow")
+
+
+def q_agg_pricing(sf_dir: str):
+    """Partial aggregation (combiner) before the shuffle: per-batch partials
+    → small groupby — the pre-aggregation pattern for wide groupbys."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["sum_qty"] = df["l_quantity"]
+        # exact integer cents so summation order can't drift across engines
+        df["sum_base_price_cents"] = np.rint(df["l_extendedprice"] * 100).astype("int64")
+        df["count_order"] = np.int64(1)
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["sum_qty", "sum_base_price_cents", "count_order"]
+            ]
+            .sum()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def cast_types(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+                "sum_base_price_cents": pc.cast(t["sum_base_price_cents"], pa.int64()),
+                "count_order": pc.cast(t["count_order"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_types, batch_format="pyarrow")
+
+
+def q_text_stats(sf_dir: str):
+    """Text analysis: token/char/alpha counts, quality bucket, lang-ID,
+    fingerprint — one vectorized actor-pool stage."""
+    from oplogtoredis_ray.stages.text import TextStats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(TextStats(), batch_format="pyarrow", concurrency=2)
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact document dedup: survivor (min doc_id) + count per content hash."""
+    from oplogtoredis_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "dup_count": pc.cast(t["dup_count"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_brute(sf_dir: str):
+    """ANN baseline: brute-force cosine top-10 for 4 fixed query vectors,
+    broadcast query matrix + distributed partial top-k."""
+    import pyarrow.parquet as pq
+
+    from oplogtoredis_ray.pipelines.similarity import knn_brute
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 4))
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist())
+    }
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_brute(ds, queries, k=10)
+
+
+def q_neardup_embeddings(sf_dir: str):
+    """Embedding near-dup pairs (cosine ≥ τ) on a filtered subset via a
+    broadcast side matrix."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from oplogtoredis_ray.pipelines.similarity import PairsAboveThreshold
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    sub = tbl.filter(pc.equal(pc.bit_wise_and(tbl["vec_id"], 4 - 1), 0))
+    ids = sub["vec_id"].to_numpy(zero_copy_only=False)
+    M = np.array(sub["embedding"].to_pylist(), dtype=np.float64)
+    ref = ray.put((ids, M))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 4 - 1), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(
+        PairsAboveThreshold,
+        batch_format="pyarrow",
+        fn_constructor_args=(ref, 0.35),
+        concurrency=2,
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clustering (rows-only check: random corpora have
+    no near-dups, so clusters are validated by pytest on planted dups)."""
+    from oplogtoredis_ray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash bucketing near-dup pairs (rows-only check)."""
+    from oplogtoredis_ray.pipelines.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds)
+
+
+def q_change_records(sf_dir: str):
+    """M9: the canonical change-record (Publication) contract over the
+    synthetic transcript log."""
+    from oplogtoredis_ray.sources.event_log import read_event_window, log_ts_bounds
+    from oplogtoredis_ray.stages.parse import ParseStage
+
+    log_dir = ensure_synth_log(sf_dir)
+    lo, hi = log_ts_bounds(log_dir)
+    cfg = PipelineConfig(num_partitions=NUM_PARTITIONS)
+    ds = read_event_window(log_dir, lo - 1, hi)
+    ds = ds.map_batches(ParseStage(cfg), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        event = pc.replace_substring_regex(t["op"], "^d$", "r")
+        doc_id = pc.cast(t["turn_idx"], pa.string())
+        return pa.table(
+            {
+                "channel": t["conv_id"],
+                "channel_doc": pc.binary_join_element_wise(t["conv_id"], doc_id, "::"),
+                "event": event,
+                "doc_id": doc_id,
+                "fields": pc.binary_join(t["changed_fields"], ","),
+                "ts": t["ts"],
+                "seq": pc.cast(t["seq"], pa.int64()),
+                "tx_idx": pc.cast(t["tx_idx"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_cdc_apply(sf_dir: str):
+    """The flagship pipeline: full windowed exactly-once CDC replay of the
+    synthetic transcript log into a fresh lake; returns the final table."""
+    import tempfile
+
+    from oplogtoredis_ray.pipelines.ingest import run_ingest
+    from oplogtoredis_ray.sources.event_log import log_ts_bounds
+    from oplogtoredis_ray.state.lake import read_lake
+
+    log_dir = ensure_synth_log(sf_dir)
+    lake_root = tempfile.mkdtemp(prefix="otr_lake_")
+    lo, hi = log_ts_bounds(log_dir)
+    cfg = PipelineConfig(
+        num_partitions=32, window_us=max((hi - lo) // 4, 1) + 1
+    )
+    run_ingest(log_dir, lake_root, cfg)
+    return read_lake(lake_root)
+
+
+# --- registry ----------------------------------------------------------------
+
+QUERIES = {
+    "window_read": q_window_read,
+    "envelope_project": q_envelope_project,
+    "denylist_filter": q_denylist_filter,
+    "props_extract": q_props_extract,
+    "tx_flatten": q_tx_flatten,
+    "partition_assign": q_partition_assign,
+    "dedup_exact": q_dedup_exact,
+    "shard_watermarks": q_shard_watermarks,
+    "resume_point": q_resume_point,
+    "ordered_rank": q_ordered_rank,
+    "cdc_last_state": q_cdc_last_state,
+    "interval_max": q_interval_max,
+    "changed_fields_json": q_changed_fields_json,
+    "agg_pricing": q_agg_pricing,
+    "text_stats": q_text_stats,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "knn_brute": q_knn_brute,
+    "neardup_embeddings": q_neardup_embeddings,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "change_records": q_change_records,
+    "cdc_apply": q_cdc_apply,
+}
+
+
+def _synth_glob_sql(sf_name: str) -> str:
+    return os.path.join(SYNTH_ROOT, sf_name, "events", "*.parquet")
+
+
+def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
+    synth = _synth_glob_sql(sf_name)
+    cf_fields = (
+        "TRIM(TRAILING ',' FROM "
+        "(CASE WHEN op IN ('i','u') AND role IS NOT NULL THEN 'role,' ELSE '' END ||"
+        " CASE WHEN op IN ('i','u') AND text IS NOT NULL THEN 'text,' ELSE '' END ||"
+        " CASE WHEN op IN ('i','u') AND tool IS NOT NULL THEN 'tool,' ELSE '' END))"
+    )
+    return {
+        "window_read": """
+            SELECT event_id, ts, user_id FROM events
+            WHERE ts > TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
+        """,
+        "envelope_project": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+        """,
+        "denylist_filter": """
+            SELECT event_id, user_id FROM events WHERE user_id % 7 <> 3
+        """,
+        "props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "tx_flatten": """
+            SELECT event_id,
+                   UNNEST(generate_series(0, event_id % 3)) AS tx_idx
+            FROM events
+        """,
+        "partition_assign": f"""
+            SELECT event_id,
+                   CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                        % {NUM_PARTITIONS} AS BIGINT) AS partition_id
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) = 1
+        """,
+        "shard_watermarks": f"""
+            SELECT CAST(user_id % {SHARDS} AS BIGINT) AS shard,
+                   MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY shard
+        """,
+        "resume_point": f"""
+            SELECT MIN(max_ts) AS resume_ts, CAST(COUNT(*) AS BIGINT) AS num_shards
+            FROM (SELECT user_id % {SHARDS} AS shard, MAX(ts) AS max_ts
+                  FROM events GROUP BY 1)
+        """,
+        "ordered_rank": """
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rank
+            FROM events
+        """,
+        "cdc_last_state": """
+            WITH tagged AS (
+              SELECT *, CASE WHEN event_id % 17 = 0 THEN 'd'
+                             WHEN event_id % 5 = 0 THEN 'i'
+                             ELSE 'u' END AS op
+              FROM events),
+            pos AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS pos FROM tagged),
+            life AS (
+              SELECT user_id, event_type,
+                     MAX(CASE WHEN op = 'i' THEN pos END) AS li,
+                     MAX(CASE WHEN op = 'd' THEN pos END) AS ld
+              FROM pos GROUP BY 1, 2)
+            SELECT p.user_id, p.event_type,
+                   arg_max(p.value, p.pos) FILTER (WHERE p.op IN ('i','u') AND p.pos >= l.li) AS last_value,
+                   arg_max(p.ts, p.pos) FILTER (WHERE p.op IN ('i','u') AND p.pos >= l.li) AS last_ts
+            FROM pos p JOIN life l
+              ON p.user_id = l.user_id AND p.event_type = l.event_type
+            WHERE l.li IS NOT NULL AND (l.ld IS NULL OR l.li > l.ld)
+            GROUP BY p.user_id, p.event_type
+        """,
+        "interval_max": """
+            SELECT date_trunc('hour', ts) AS bucket, MAX(value) AS max_value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY bucket
+        """,
+        "changed_fields_json": """
+            SELECT event_id, array_to_string(json_keys(props), ',') AS changed_fields
+            FROM events
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_txt,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+                   CAST((10 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+                        // GREATEST(length(text), 1) AS BIGINT) AS quality_bucket,
+                   CASE WHEN contains(text, ' the ') THEN 'en' ELSE 'other' END AS lang_pred,
+                   substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+            FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count
+            FROM (SELECT doc_id,
+                         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+                  FROM documents)
+            GROUP BY h
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 4)
+            SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.qe AS DOUBLE[])) DESC,
+                                e.vec_id) AS rnk
+              FROM embeddings e, q)
+            WHERE rnk <= 10
+        """,
+        "neardup_embeddings": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0 AND a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "change_records": f"""
+            SELECT conv_id AS channel,
+                   conv_id || '::' || CAST(turn_idx AS VARCHAR) AS channel_doc,
+                   CASE WHEN op = 'd' THEN 'r' ELSE op END AS event,
+                   CAST(turn_idx AS VARCHAR) AS doc_id,
+                   {cf_fields} AS fields,
+                   ts, CAST(seq AS BIGINT) AS seq, CAST(tx_idx AS BIGINT) AS tx_idx
+            FROM read_parquet('{synth}', union_by_name=true)
+            WHERE op IN ('i','u','d') AND conv_id IS NOT NULL AND turn_idx IS NOT NULL
+        """,
+        "cdc_apply": f"""
+            WITH raw AS (
+              SELECT ts, seq, tx_idx, op, conv_id, turn_idx, role, text, tool
+              FROM read_parquet('{synth}', union_by_name=true)),
+            dedup AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY ts, seq, tx_idx ORDER BY ts) AS rn
+                FROM raw) WHERE rn = 1),
+            pos AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY ts, seq, tx_idx) AS pos FROM dedup),
+            life AS (
+              SELECT conv_id, turn_idx,
+                     MAX(CASE WHEN op = 'i' THEN pos END) AS li,
+                     MAX(CASE WHEN op = 'd' THEN pos END) AS ld
+              FROM pos GROUP BY 1, 2)
+            SELECT p.conv_id, CAST(p.turn_idx AS INT) AS turn_idx,
+                   arg_max(p.role, p.pos) FILTER (WHERE p.role IS NOT NULL AND p.op IN ('i','u') AND p.pos >= l.li) AS role,
+                   arg_max(p.text, p.pos) FILTER (WHERE p.text IS NOT NULL AND p.op IN ('i','u') AND p.pos >= l.li) AS text,
+                   arg_max(p.tool, p.pos) FILTER (WHERE p.tool IS NOT NULL AND p.op IN ('i','u') AND p.pos >= l.li) AS tool,
+                   arg_max(p.ts, p.pos) FILTER (WHERE p.op IN ('i','u') AND p.pos >= l.li) AS ts
+            FROM pos p JOIN life l
+              ON p.conv_id = l.conv_id AND p.turn_idx = l.turn_idx
+            WHERE l.li IS NOT NULL AND (l.ld IS NULL OR l.li > l.ld)
+            GROUP BY 1, 2
+        """,
+    }

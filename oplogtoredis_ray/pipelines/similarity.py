@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and fetched once per actor in ``__init__`` (never re-shipped per
+batch); each batch computes a float64 matmul and emits only its local top-k
+candidates, so the driver merges ``num_batches × q × k`` rows, never the
+dataset.
+
+Scale path: random-hyperplane LSH bucketing — vectors are signed against a
+shared seeded hyperplane matrix, bucketed by signature prefix, and search
+only touches matching buckets (recall < 1 by design; documented).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _matrix_from_list_column(col) -> np.ndarray:
+    """(n, d) float64 view of a list<float> column without per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool batch stage: local top-k cosine candidates per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = np.array(sorted(q.keys()))
+        self.Q = _normalize(np.stack([q[i] for i in self.query_ids]).astype(np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _matrix_from_list_column(batch[self.vec_col])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = _normalize(E) @ self.Q.T  # (n, q) float64
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            out_q.append(np.full(len(top), self.query_ids[qi]))
+            out_id.append(ids[top])
+            out_sim.append(col[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+
+def knn_brute(
+    ds,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Global top-k per query: distributed partial top-k + tiny driver merge.
+
+    Returns (query_id, rank, neighbor_id) with deterministic ties
+    (sim desc, neighbor_id asc).
+    """
+    import ray
+
+    ref = ray.put(queries)
+    kwargs = {
+        "batch_format": "pyarrow",
+        "fn_constructor_args": (ref, k, id_col, vec_col),
+        "concurrency": concurrency or 2,  # callable class → actor pool
+    }
+    cand = ds.map_batches(BruteForceTopK, **kwargs).to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    cand["rank"] = cand.groupby("query_id").cumcount() + 1
+    out = cand[cand["rank"] <= k][["query_id", "rank", "neighbor_id"]]
+    return out.reset_index(drop=True)
+
+
+class PairsAboveThreshold:
+    """All-pairs cosine ≥ τ of a batch against a broadcast candidate matrix
+    (used on small filtered subsets; the scale path buckets first)."""
+
+    def __init__(self, side_ref, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        ids, M = ray.get(side_ref)
+        self.side_ids = ids
+        self.S = _normalize(M.astype(np.float64))
+        self.tau = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _normalize(_matrix_from_list_column(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = E @ self.S.T
+        rows, cols = np.nonzero(sims >= self.tau)
+        a = ids[rows]
+        b = self.side_ids[cols]
+        keep = a < b  # dedupe unordered pairs, drop self-pairs
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep], type=pa.int64()),
+                "b_id": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+
+def lsh_signatures(
+    M: np.ndarray, num_planes: int = 16, seed: int = 7
+) -> np.ndarray:
+    """Random-hyperplane signatures (uint32 bucket ids) — the ANN scale path:
+    candidate search only within matching buckets."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((M.shape[1], num_planes))
+    bits = (M @ planes) >= 0
+    weights = (1 << np.arange(num_planes)).astype(np.uint32)
+    return (bits.astype(np.uint32) * weights).sum(axis=1).astype(np.uint32)

@@ -126,12 +126,14 @@ def read_event_window(
         groups.setdefault(names, []).append(f)
 
     flt = window_filter(start_us, end_us)
+    total_files = sum(len(f) for f in groups.values())
     datasets = []
-    kwargs = {}
-    if override_num_blocks is not None and len(groups) == 1:
-        kwargs["override_num_blocks"] = override_num_blocks
     for names, files in groups.items():
         cols = [c for c in want if c in names]
+        kwargs = {}
+        if override_num_blocks is not None:
+            share = max(1, round(override_num_blocks * len(files) / total_files))
+            kwargs["override_num_blocks"] = share
         datasets.append(rd.read_parquet(files, columns=cols, filter=flt, **kwargs))
     ds = datasets[0]
     for other in datasets[1:]:

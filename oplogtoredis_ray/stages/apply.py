@@ -32,14 +32,6 @@ import numpy as np
 import pandas as pd
 
 from oplogtoredis_ray.config import PipelineConfig
-from oplogtoredis_ray.stages.fold import (
-    apply_folded,
-    drop_below_watermark,
-    fold_events,
-    fold_events_chunked,
-    sort_and_dedup,
-)
-from oplogtoredis_ray.state.lake import read_partition_state, write_partition_state
 from oplogtoredis_ray.state.manifest import (
     Manifest,
     commit_manifest,
@@ -69,27 +61,39 @@ def _stats_row(pid: int, window_id: str, **kw) -> pd.DataFrame:
 
 
 def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
-    """Closure for ``groupby("partition_id").map_groups`` — one call per
-    partition per window (the partitioning assumption this operator relies
-    on: a partition's whole window in one group, guaranteed by groupby)."""
+    """Closure for ``groupby("partition_id").map_groups(...,
+    batch_format="pyarrow")`` — one call per partition per window (the
+    partitioning assumption this operator relies on: a partition's whole
+    window in one group, guaranteed by groupby).
+
+    The whole path is Arrow-native (stages/arrow_fold.py): event-scale
+    strings never box into Python objects — profiled at 3-4× the fold cost
+    when they do."""
+    import pyarrow as pa
+
+    from oplogtoredis_ray.stages.arrow_fold import (
+        fold_arrow,
+        fold_arrow_chunked,
+        merge_into_state,
+        order_dedup_filter,
+    )
+    from oplogtoredis_ray.state.lake import (
+        read_partition_state_arrow,
+        write_partition_state_arrow,
+    )
 
     payload_cols = tuple(cfg.payload_cols)
 
-    def apply_group(group: pd.DataFrame) -> pd.DataFrame:
+    def apply_group(group: pa.Table) -> pd.DataFrame:
         if len(group) == 0:
             return pd.DataFrame(columns=STATS_COLUMNS)
-        pid = int(group["partition_id"].iloc[0])
+        pid = int(group["partition_id"][0].as_py())
         manifest = read_manifest(lake_root, pid)
         if window_id in manifest.lineage:
             return _stats_row(pid, window_id, events_in=len(group), skipped=True)
 
         events_in = len(group)
-        g = group.copy()
-        g["ts"] = g["ts"].astype("int64")  # µs since epoch for total ordering
-        g = sort_and_dedup(g)
-        dupes = events_in - len(g)
-        g = drop_below_watermark(g, manifest.watermark)
-        below = events_in - dupes - len(g)
+        g, dupes, below = order_dedup_filter(group, manifest.watermark)
 
         if len(g) == 0:
             # nothing new: still record lineage so re-runs stay cheap
@@ -101,22 +105,21 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
             )
 
         if len(g) > cfg.salt_rows_threshold:
-            folded = fold_events_chunked(g, payload_cols, cfg.salt_chunks)
+            fr = fold_arrow_chunked(g, payload_cols, cfg.salt_chunks)
         else:
-            folded = fold_events(g, payload_cols)
+            fr = fold_arrow(g, payload_cols)
 
-        state = read_partition_state(lake_root, manifest)
-        if len(state):
-            state["ts"] = state["ts"].astype("int64")
-        new_state, merge_stats = apply_folded(state, folded, payload_cols)
-        new_state = new_state.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        state = read_partition_state_arrow(lake_root, manifest)
+        new_state, merge_stats = merge_into_state(state, fr, payload_cols)
+        rel, rows = write_partition_state_arrow(lake_root, pid, window_id, new_state)
 
-        rel, rows = write_partition_state(lake_root, pid, window_id, new_state)
+        # max identity triple = last row of the sorted table (tz-safe cast)
+        import pyarrow.compute as _pc
 
-        wm_row = g.iloc[-1]  # max identity triple (g is sorted)
+        wts = int(_pc.cast(g["ts"], pa.int64())[-1].as_py())
         new_manifest = Manifest(
             partition_id=pid,
-            watermark=(int(wm_row["ts"]), int(wm_row["seq"]), int(wm_row["tx_idx"])),
+            watermark=(wts, int(g["seq"][-1].as_py()), int(g["tx_idx"][-1].as_py())),
             state_file=rel,
             rows=rows,
             lineage=manifest.lineage + [window_id],

@@ -78,51 +78,57 @@ def fold_events(
 
     pos = np.arange(n, dtype=np.int64)
     op = g["op"].to_numpy()
-    kid = g.groupby(KEY_COLS, sort=False).ngroup().to_numpy()
+    kid = _key_ids(g)
+
+    # segment layout: rows sorted (stably) by key, keeping event order inside
+    order = np.argsort(kid, kind="stable")
+    kid_sorted = kid[order]
+    seg_starts = np.flatnonzero(np.concatenate([[True], kid_sorted[1:] != kid_sorted[:-1]]))
+    rep_counts = np.diff(np.concatenate([seg_starts, [n]]))
 
     is_i = op == "i"
     is_d = op == "d"
     is_iu = is_i | (op == "u")
 
-    li = pd.Series(np.where(is_i, pos, -1)).groupby(kid).max()
-    ld = pd.Series(np.where(is_d, pos, -1)).groupby(kid).max()
-    start = np.maximum(li.to_numpy(), ld.to_numpy())  # per-key fold start
-    start_r = start[kid]  # broadcast to rows
+    def seg_max(values: np.ndarray) -> np.ndarray:
+        return np.maximum.reduceat(values[order], seg_starts)
 
-    outcome = np.where(
-        ld.to_numpy() > li.to_numpy(),
-        "delete",
-        np.where(li.to_numpy() >= 0, "upsert", "patch"),
-    )
+    li = seg_max(np.where(is_i, pos, -1))
+    ld = seg_max(np.where(is_d, pos, -1))
+    start = np.maximum(li, ld)  # per-key fold start
+    start_r = np.repeat(start, rep_counts)[_inverse(order, n)]  # back to row order
+
+    outcome = np.where(ld > li, "delete", np.where(li >= 0, "upsert", "patch"))
 
     eligible = is_iu & (pos >= start_r)
     folded: dict[str, np.ndarray] = {}
     set_masks: dict[str, np.ndarray] = {}
     for c in payload_cols:
-        present = g[c].notna().to_numpy() if c in g.columns else np.zeros(n, bool)
+        if c in g.columns:
+            col = g[c].to_numpy()
+            present = pd.notna(g[c]).to_numpy()
+        else:
+            col = np.full(n, None, dtype=object)
+            present = np.zeros(n, bool)
         m = eligible & present
-        vals = g[c].where(pd.Series(m)) if c in g.columns else pd.Series([None] * n)
-        folded[c] = vals.groupby(kid).last().to_numpy()
-        set_masks[c] = pd.Series(m).groupby(kid).any().to_numpy()
+        last_set = seg_max(np.where(m, pos, -1))
+        vals = np.full(len(last_set), None, dtype=object)
+        hit = last_set >= 0
+        vals[hit] = col[last_set[hit]]
+        folded[c] = vals
+        set_masks[c] = hit
 
-    # per-key last identity triple (rows are sorted → last = max position)
-    last_pos = pd.Series(pos).groupby(kid).max().to_numpy()
-    # ts of the key's row state = last applied i/u event's ts
+    last_pos = seg_max(pos)
     ts_num = g["ts"].to_numpy().astype("int64")
-    row_ts = (
-        pd.Series(np.where(eligible, ts_num, np.iinfo(np.int64).min))
-        .groupby(kid)
-        .max()
-        .to_numpy()
-    )
-    # for delete outcomes row_ts is unused; keep last event ts for bookkeeping
+    last_applied = seg_max(np.where(eligible, pos, -1))
+    row_ts = np.where(last_applied >= 0, ts_num[np.maximum(last_applied, 0)], np.int64(0))
+    # for delete outcomes keep last event ts for bookkeeping
     row_ts = np.where(outcome == "delete", ts_num[last_pos], row_ts)
 
-    first_pos = pd.Series(pos).groupby(kid).min().to_numpy()
     out = pd.DataFrame(
         {
-            "conv_id": g["conv_id"].to_numpy()[first_pos],
-            "turn_idx": g["turn_idx"].to_numpy()[first_pos],
+            "conv_id": g["conv_id"].to_numpy()[last_pos],
+            "turn_idx": g["turn_idx"].to_numpy()[last_pos],
             "outcome": outcome,
         }
     )
@@ -133,6 +139,22 @@ def fold_events(
     out["seq"] = g["seq"].to_numpy()[last_pos].astype("int64")
     out["tx_idx"] = g["tx_idx"].to_numpy()[last_pos].astype("int64")
     return out
+
+
+def _inverse(order: np.ndarray, n: int) -> np.ndarray:
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    return inv
+
+
+def _key_ids(g: pd.DataFrame) -> np.ndarray:
+    """Dense int ids for (conv_id, turn_idx) pairs without pandas groupby:
+    factorize each column, combine, factorize the combination."""
+    c1, _ = pd.factorize(g["conv_id"], sort=False)
+    c2, _ = pd.factorize(g["turn_idx"], sort=False)
+    combined = c1.astype(np.int64) * (int(c2.max()) + 1 if len(c2) else 1) + c2
+    kid, _ = pd.factorize(combined, sort=False)
+    return kid.astype(np.int64)
 
 
 def folded_to_pseudo_events(

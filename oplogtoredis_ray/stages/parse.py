@@ -66,6 +66,9 @@ class ParseStage:
         self.deadletter_dir = deadletter_dir
         self.deny: frozenset[str] = cfg.denylist
         self.payload_cols = tuple(cfg.payload_cols)
+        # per-actor partition-hash memo: conv ids recur across batches, so the
+        # sha256 is paid once per conv per actor, not once per conv per batch
+        self._pid_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -113,7 +116,7 @@ class ParseStage:
             op = batch["op"].to_numpy(zero_copy_only=False)
             cf = _changed_fields_list(batch, op, self.payload_cols)
             batch = batch.append_column("changed_fields", cf)
-            pids = partition_ids_for_array(batch["conv_id"], self.cfg.num_partitions)
+            pids = self._partition_ids(batch["conv_id"])
             batch = batch.append_column("partition_id", pa.array(pids, type=pa.int32()))
         # canonical column order so unioned mixed-schema fragments line up
         order = [
@@ -124,6 +127,39 @@ class ParseStage:
         order += [c for c in self.payload_cols if c in batch.column_names]
         order += ["changed_fields", "partition_id"]
         return batch.select(order)
+
+    def _partition_ids(self, conv: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        """Vectorized partition assignment; poly64 operates on the Arrow
+        string buffers directly, sha256 (reference parity) is memoized per
+        unique conv id."""
+        import pyarrow.compute as _pc
+
+        from oplogtoredis_ray.functions.sharding import (
+            partition_id_for,
+            poly_partition_ids,
+        )
+
+        if self.cfg.hash_algo == "poly64":
+            return poly_partition_ids(conv, self.cfg.num_partitions)
+
+        dict_arr = _pc.dictionary_encode(conv)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        uniques = dict_arr.dictionary.to_pylist()
+        cache = self._pid_cache
+        P = self.cfg.num_partitions
+        lut = np.empty(len(uniques), dtype=np.int32)
+        for i, u in enumerate(uniques):
+            pid = cache.get(u)
+            if pid is None:
+                pid = partition_id_for(u, P) if u is not None else -1
+                cache[u] = pid
+            lut[i] = pid
+        codes = dict_arr.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.full(codes.shape, -1, dtype=np.int32)
+        valid = codes >= 0
+        out[valid] = lut[codes[valid]]
+        return out
 
     def _dead_letter(self, bad: pa.Table) -> None:
         if self.deadletter_dir is None or len(bad) == 0:

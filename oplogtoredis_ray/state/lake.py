@@ -37,6 +37,36 @@ def lake_partition_dir(lake_root: str, partition_id: int) -> str:
     return os.path.join(lake_root, "lake", f"p={partition_id:05d}")
 
 
+def empty_state_table() -> pa.Table:
+    return pa.schema(STATE_SCHEMA_BASE).empty_table()
+
+
+def read_partition_state_arrow(lake_root: str, manifest: Manifest) -> pa.Table:
+    """Current state of one partition as Arrow (schema-unified, no boxing)."""
+    if manifest.state_file is None:
+        return empty_state_table()
+    table = pq.read_table(os.path.join(lake_root, manifest.state_file))
+    cols = {}
+    n = len(table)
+    for name, typ in STATE_SCHEMA_BASE.items():
+        if name in table.column_names:
+            cols[name] = table[name].cast(typ)
+        else:
+            cols[name] = pa.nulls(n, typ)
+    return pa.table(cols)
+
+
+def write_partition_state_arrow(
+    lake_root: str, partition_id: int, window_id: str, table: pa.Table
+) -> tuple[str, int]:
+    pdir = lake_partition_dir(lake_root, partition_id)
+    os.makedirs(pdir, exist_ok=True)
+    fname = f"state-{window_id}-{uuid.uuid4().hex[:8]}.parquet"
+    rel = os.path.join("lake", f"p={partition_id:05d}", fname)
+    pq.write_table(table, os.path.join(lake_root, rel))
+    return rel, len(table)
+
+
 def read_partition_state(lake_root: str, manifest: Manifest) -> pd.DataFrame:
     """Current state of one partition as pandas (empty frame if none)."""
     if manifest.state_file is None:

@@ -1,0 +1,101 @@
+"""Driver-contract simulation: run every ``queries()`` entry at sf0.01 and
+compare against its ``oracle_sql()`` through DuckDB exactly the way the
+driver does (column names sorted, order-insensitive, exact values)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(obj):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke(contract):
+    out = _to_pandas(contract.entry())
+    assert len(out) > 0
+    assert set(["conv_id", "turn_idx", "role", "text", "tool", "ts"]) <= set(out.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_every_oracle_key_has_query(contract):
+    q = contract.queries()
+    o = contract.oracle_sql()
+    assert set(o) <= set(q)
+    # rows-only queries are the explicitly non-SQL-expressible ones
+    assert set(q) - set(o) == {"minhash_dedup", "simhash_pairs", "cdc_apply_transcripts"} - {"cdc_apply_transcripts"}
+
+
+SQL_CHECKED = None  # filled at collection below
+
+
+def _pairs():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    o = e.oracle_sql()
+    return sorted(o.keys())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", _pairs())
+def test_query_matches_oracle(contract, con, name):
+    q = contract.queries()[name]
+    sql = contract.oracle_sql()[name]
+    got = _normalize(_to_pandas(q(SF_DIR)))
+    want = _normalize(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

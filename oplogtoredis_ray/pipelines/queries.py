@@ -33,7 +33,8 @@ SHARDS = 8
 # --- synthetic transcript log management -------------------------------------
 
 SYNTH_ROOT = "/tmp/otr_synth"
-_SF_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+_SF_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 48_000_000}
+_SHARDED_MIN = 1_000_000  # above this, generate with parallel Ray shards
 
 
 def _sf_name(sf_dir: str) -> str:
@@ -55,7 +56,7 @@ def synth_spec_for(sf_name: str):
         mean_updates=2.0,
         duplicate_rate=0.02,
         txn_rate=0.05,
-        n_files=8,
+        n_files=128 if target >= _SHARDED_MIN else 8,
     )
 
 
@@ -79,10 +80,17 @@ def ensure_synth_log(sf_dir: str) -> str:
     import shutil
 
     shutil.rmtree(log_dir, ignore_errors=True)
-    log = generate_event_log(spec)
-    write_event_log(log, log_dir)
+    target = _SF_EVENTS.get(name, 50_000)
+    if target >= _SHARDED_MIN:
+        from oplogtoredis_ray.sources.synthetic import generate_event_log_sharded
+
+        n = generate_event_log_sharded(spec, log_dir, shards=16)
+    else:
+        log = generate_event_log(spec)
+        write_event_log(log, log_dir)
+        n = len(log)
     with open(marker + ".tmp", "w") as f:
-        json.dump({"spec": spec_key, "events": len(log)}, f)
+        json.dump({"spec": spec_key, "events": n}, f)
     os.replace(marker + ".tmp", marker)
     return log_dir
 

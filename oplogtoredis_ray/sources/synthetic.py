@@ -45,6 +45,7 @@ PAYLOAD_COLS = ("role", "text", "tool")
 class GeneratorSpec:
     seed: int = 42
     n_conversations: int = 200
+    conv_prefix: str = "conv-"
     mean_turns: float = 4.0
     zipf_a: float = 1.4           # turns-per-conv tail (hot conversations)
     max_turns: int = 2000
@@ -148,7 +149,8 @@ def generate_event_log(spec: GeneratorSpec) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     conv_names = np.array(
-        [f"conv-{c:06d}" for c in range(spec.n_conversations)], dtype=object
+        [f"{spec.conv_prefix}{c:06d}" for c in range(spec.n_conversations)],
+        dtype=object,
     )
     conv_id = conv_names[conv_idx]
     # Arrow kernels for the value strings — pandas .astype(str) + concat
@@ -262,6 +264,53 @@ def write_event_log(df: pd.DataFrame, out_dir: str, evo_ts: int | None = None) -
         pq.write_table(table, path, row_group_size=64 * 1024)
         paths.append(path)
     return paths
+
+
+def generate_event_log_sharded(
+    spec: GeneratorSpec, out_dir: str, shards: int = 16
+) -> int:
+    """Parallel deterministic generation via Ray tasks, for bench-scale logs.
+
+    Each shard generates an independent log over its own conversations
+    (distinct ``conv_prefix``), then stripes ``seq`` (``seq*shards + i``) so
+    the global ``(ts, seq, tx_idx)`` identity stays unique across shards
+    while shard event-time ranges interleave.  Transaction groups (shared
+    (ts, seq)) survive the striping because it is applied uniformly.
+    Deterministic: shard seeds derive from ``spec.seed``.  Returns total
+    events written.
+    """
+    import ray
+
+    from dataclasses import replace
+
+    per = max(spec.n_conversations // shards, 1)
+    files_per = max(spec.n_files // shards, 2)
+
+    @ray.remote
+    def _gen(i: int) -> int:
+        s = replace(
+            spec,
+            n_conversations=per,
+            seed=spec.seed * 1000 + i,
+            conv_prefix=f"{spec.conv_prefix}{i:02d}-",
+            n_files=files_per,
+        )
+        log = generate_event_log(s)
+        log["seq"] = (log["seq"].astype(np.int64) * shards + i).astype(np.int32)
+        evo = log.attrs.get("evo_ts", EPOCH_US)
+        os.makedirs(out_dir, exist_ok=True)
+        for fid, chunk in log.groupby("_file", sort=True):
+            with_tool = bool((chunk["ts"] >= evo).any())
+            table = _arrow_table(chunk, with_tool)
+            pq.write_table(
+                table,
+                os.path.join(out_dir, f"events-{i:02d}-{int(fid):04d}.parquet"),
+                row_group_size=256 * 1024,
+            )
+        return len(log)
+
+    counts = ray.get([_gen.remote(i) for i in range(shards)])
+    return int(sum(counts))
 
 
 def oracle_apply(df: pd.DataFrame, denylist: frozenset[str] = frozenset()) -> pd.DataFrame:

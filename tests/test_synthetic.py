@@ -141,3 +141,37 @@ def test_oracle_full_log_plausible(log):
 def test_skew_exists(log):
     counts = log["conv_id"].value_counts()
     assert counts.iloc[0] > 5 * counts.median()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_generation_identity_and_oracle(tmp_path):
+    """Sharded parallel generation: unique (ts,seq,tx_idx) across shards,
+    conv namespaces disjoint, oracle applies cleanly."""
+    import glob
+
+    from oplogtoredis_ray.sources.synthetic import generate_event_log_sharded
+
+    spec = GeneratorSpec(seed=9, n_conversations=40, n_files=8, duplicate_rate=0.03)
+    out = str(tmp_path / "sharded")
+    n = generate_event_log_sharded(spec, out, shards=4)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) == 8  # 4 shards x 2 files
+    frames = [pq.read_table(f).to_pandas() for f in files]
+    for df in frames:
+        if "tool" not in df.columns:
+            df["tool"] = None
+    log = pd.concat(frames, ignore_index=True)
+    assert len(log) == n
+    base = log.drop_duplicates(["ts", "seq", "tx_idx"])
+    # duplicates exist but identities are unique across shards after striping
+    assert len(base) < len(log)
+    dups = log[log.duplicated(["ts", "seq", "tx_idx"], keep="first")]
+    merged = dups.merge(base, on=["ts", "seq", "tx_idx"], suffixes=("_d", ""))
+    assert (merged["conv_id_d"] == merged["conv_id"]).all()  # only true replays collide
+    # shard-prefixed conv namespaces
+    prefixes = {c[:8] for c in log["conv_id"]}
+    assert len(prefixes) == 4
+    log["ts"] = log["ts"].astype("int64")
+    final = oracle_apply(log)
+    assert len(final) > 0
+    assert final.duplicated(["conv_id", "turn_idx"]).sum() == 0

@@ -1,0 +1,167 @@
+"""CLI entry points.
+
+The only scripts that own a Ray session (per the driver contract) are this
+CLI, bench.py and the test fixture.
+
+    python -m oplogtoredis_ray ingest  --log DIR --lake DIR [--window-us N]
+                                       [--partitions P] [--deny conv ...]
+    python -m oplogtoredis_ray status  --lake DIR
+    python -m oplogtoredis_ray gc      --lake DIR [--dry-run]
+    python -m oplogtoredis_ray export  --lake DIR --dest DIR [--dest DIR ...]
+    python -m oplogtoredis_ray generate --out DIR --events N [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="oplogtoredis_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="resume + replay the event log into the lake")
+    pi.add_argument("--log", required=True)
+    pi.add_argument("--lake", required=True)
+    pi.add_argument("--window-us", type=int, default=None)
+    pi.add_argument("--partitions", type=int, default=64)
+    pi.add_argument("--deny", action="append", default=[])
+    pi.add_argument("--num-cpus", type=int, default=None)
+    pi.add_argument("--max-windows", type=int, default=None)
+
+    ps = sub.add_parser("status", help="lake status from manifests")
+    ps.add_argument("--lake", required=True)
+
+    pg = sub.add_parser("gc", help="remove superseded state files")
+    pg.add_argument("--lake", required=True)
+    pg.add_argument("--dry-run", action="store_true")
+
+    pe = sub.add_parser("export", help="fan out committed lake snapshot")
+    pe.add_argument("--lake", required=True)
+    pe.add_argument("--dest", action="append", required=True)
+
+    pgen = sub.add_parser("generate", help="deterministic synthetic event log")
+    pgen.add_argument("--out", required=True)
+    pgen.add_argument("--events", type=int, default=100_000)
+    pgen.add_argument("--seed", type=int, default=42)
+    pgen.add_argument("--shards", type=int, default=1)
+    pgen.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "ingest":
+        import ray
+
+        from oplogtoredis_ray.config import PipelineConfig
+        from oplogtoredis_ray.pipelines.ingest import run_ingest
+        from oplogtoredis_ray.sources.event_log import log_ts_bounds
+
+        _init_ray(args.num_cpus)
+        window = args.window_us
+        if window is None:
+            lo, hi = log_ts_bounds(args.log)
+            window = (hi - lo) // 4 + 1
+        cfg = PipelineConfig(
+            num_partitions=args.partitions,
+            window_us=window,
+            denylist=frozenset(args.deny),
+        )
+        res = run_ingest(args.log, args.lake, cfg, max_windows=args.max_windows)
+        print(
+            json.dumps(
+                {
+                    "windows_run": res.windows_run,
+                    "events_in": res.events_in,
+                    "dupes_dropped": res.dupes_dropped,
+                    "below_watermark": res.below_watermark,
+                    "upserts": res.upserts,
+                    "deletes": res.deletes,
+                    "patches": res.patches,
+                    "patch_misses": res.patch_misses,
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "status":
+        from oplogtoredis_ray.state.manifest import (
+            read_all_manifests,
+            read_completed_windows,
+        )
+
+        manifests = read_all_manifests(args.lake)
+        windows = read_completed_windows(args.lake)
+        print(
+            json.dumps(
+                {
+                    "partitions": len(manifests),
+                    "rows": sum(m.rows for m in manifests),
+                    "completed_windows": len(windows),
+                    "resume_end_us": max((w["end_us"] for w in windows), default=None),
+                    "min_watermark": min(
+                        (list(m.watermark) for m in manifests), default=None
+                    ),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "gc":
+        from oplogtoredis_ray.state.gc import collect_garbage
+
+        removed = collect_garbage(args.lake, dry_run=args.dry_run)
+        print(json.dumps({"removed": len(removed), "dry_run": args.dry_run}))
+        return 0
+
+    if args.cmd == "export":
+        from oplogtoredis_ray.state.gc import export_snapshot
+
+        print(json.dumps(export_snapshot(args.lake, args.dest)))
+        return 0
+
+    if args.cmd == "generate":
+        from oplogtoredis_ray.sources.synthetic import (
+            GeneratorSpec,
+            generate_event_log,
+            generate_event_log_sharded,
+            write_event_log,
+        )
+
+        spec = GeneratorSpec(
+            seed=args.seed,
+            n_conversations=max(args.events // 55, 20),
+            mean_turns=3.0,
+            max_turns=60,
+            n_files=max(8, args.shards * 4),
+        )
+        if args.shards > 1:
+            _init_ray(args.num_cpus)
+            n = generate_event_log_sharded(spec, args.out, shards=args.shards)
+        else:
+            log = generate_event_log(spec)
+            write_event_log(log, args.out)
+            n = len(log)
+        print(json.dumps({"events": n, "out": args.out}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

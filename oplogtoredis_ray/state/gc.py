@@ -1,0 +1,78 @@
+"""Lake maintenance: garbage collection and snapshot export.
+
+- ``collect_garbage``: every apply commit leaves the previous state file
+  behind (they are what makes the manifest rename safe); GC removes files
+  no manifest references.  Safe to run concurrently with ingest: a file is
+  only deleted when it is not the current state of any partition, and
+  in-flight applies write *new* uniquely-named files.
+- ``export_snapshot``: the multi-destination fan-out analog (≙ the
+  reference publishing every message to every Redis URL —
+  /root/reference/lib/oplog/tail.go:309-321): the lake is materialized
+  once, and each destination gets a consistent copy of the committed state
+  (manifest-pinned, so concurrent window commits don't tear the snapshot).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from oplogtoredis_ray.state.manifest import read_all_manifests
+
+
+def collect_garbage(lake_root: str, dry_run: bool = False) -> list[str]:
+    """Delete state files not referenced by any manifest; returns the
+    removed (or would-remove) relative paths."""
+    referenced = {
+        m.state_file for m in read_all_manifests(lake_root) if m.state_file
+    }
+    removed: list[str] = []
+    lake_dir = os.path.join(lake_root, "lake")
+    if not os.path.isdir(lake_dir):
+        return removed
+    for pdir in sorted(os.listdir(lake_dir)):
+        full = os.path.join(lake_dir, pdir)
+        if not os.path.isdir(full):
+            continue
+        for fname in sorted(os.listdir(full)):
+            rel = os.path.join("lake", pdir, fname)
+            if rel not in referenced:
+                removed.append(rel)
+                if not dry_run:
+                    os.unlink(os.path.join(lake_root, rel))
+    return removed
+
+
+def export_snapshot(lake_root: str, destinations: list[str]) -> dict:
+    """Copy the committed lake state to every destination directory.
+
+    The manifest set is read ONCE, pinning a consistent snapshot even if
+    windows keep committing during the copy.  Each destination receives the
+    partition state files plus a ``_snapshot.json`` manifest; re-exports are
+    idempotent (files are content-unique by name).
+    """
+    manifests = read_all_manifests(lake_root)
+    pinned = [(m.partition_id, m.state_file, m.rows, list(m.watermark)) for m in manifests if m.state_file]
+    stats = {"partitions": len(pinned), "rows": sum(p[2] for p in pinned), "destinations": []}
+    for dest in destinations:
+        os.makedirs(dest, exist_ok=True)
+        copied = 0
+        for pid, rel, rows, wm in pinned:
+            src = os.path.join(lake_root, rel)
+            dst = os.path.join(dest, os.path.basename(rel))
+            if not os.path.exists(dst):
+                shutil.copy2(src, dst)
+                copied += 1
+        snap = {
+            "partitions": [
+                {"partition_id": pid, "file": os.path.basename(rel), "rows": rows, "watermark": wm}
+                for pid, rel, rows, wm in pinned
+            ]
+        }
+        tmp = os.path.join(dest, "_snapshot.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, os.path.join(dest, "_snapshot.json"))
+        stats["destinations"].append({"dest": dest, "files_copied": copied})
+    return stats

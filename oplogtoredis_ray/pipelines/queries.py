@@ -493,6 +493,184 @@ def q_change_records(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows (streaming-shaped): per-user sessions split at >30 min
+    gaps — groupby(key).map_groups over the ts-sorted group (Ray Data has no
+    event-time windows; this is the documented composition)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = np.diff(ts) > GAP_US
+        sid = np.cumsum(new)
+        g = g.assign(session=sid)
+        out = g.groupby("session", as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+            value_cents=("value", lambda v: np.floor(v * 100).astype("int64").sum()),
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["n_events"] = out["n_events"].astype("int64")
+        out["value_cents"] = out["value_cents"].astype("int64")
+        return out[["user_id", "session_start", "session_end", "n_events", "value_cents"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_asof_view_click(sf_dir: str):
+    """As-of join: for each click, the latest view of the same user at or
+    before it — per-key ``pd.merge_asof`` inside map_groups (the documented
+    bucketed as-of pattern)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        clicks = g[g["event_type"] == "click"][["event_id", "ts", "user_id"]]
+        views = g[g["event_type"] == "view"][["event_id", "ts"]].rename(
+            columns={"event_id": "view_event_id", "ts": "view_ts"}
+        )
+        if clicks.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "view_event_id", "view_ts"]
+            )
+        merged = pd.merge_asof(
+            clicks, views, left_on="ts", right_on="view_ts", direction="backward"
+        )
+        merged = merged.dropna(subset=["view_event_id"])
+        merged["view_event_id"] = merged["view_event_id"].astype("int64")
+        return merged[["event_id", "user_id", "ts", "view_event_id", "view_ts"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def q_customer_region(sf_dir: str):
+    """Broadcast dimension join: customer ⋈ nation ⋈ region with the small
+    side shipped once via ray.put and merged per batch — no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+    ref = ray.put(dim)
+
+    class JoinDim:
+        def __init__(self, dim_ref):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.merge(
+                self.dim, left_on="c_nationkey", right_on="n_nationkey"
+            )
+            return out[["c_custkey", "c_name", "n_name", "r_name"]].rename(
+                columns={"n_name": "nation", "r_name": "region"}
+            )
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    return ds.map_batches(
+        JoinDim, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2
+    )
+
+
+def q_order_revenue(sf_dir: str):
+    """Partitioned hash join (both sides large): bucket both sides by
+    hash(orderkey) % B, co-group, join within bucket — the explicit
+    partitioned-join pattern."""
+    B = 16
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    items = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_orderkey"], B - 1), pa.int32())
+        return t.append_column("bucket", b).append_column(
+            "side", pa.array(np.zeros(len(t), dtype=np.int8))
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        out = pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "o_custkey": pa.nulls(len(t), pa.int64()),
+                "revenue_cents": cents,
+            }
+        )
+        b = pc.cast(pc.bit_wise_and(out["o_orderkey"], B - 1), pa.int32())
+        return out.append_column("bucket", b).append_column(
+            "side", pa.array(np.ones(len(t), dtype=np.int8))
+        )
+
+    left = orders.map_batches(tag_orders, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("revenue_cents", pa.nulls(len(t), pa.int64())),
+        batch_format="pyarrow",
+    )
+    right = items.map_batches(tag_items, batch_format="pyarrow")
+    both = left.union(right)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["o_orderkey", "o_custkey"]]
+        i = g[g["side"] == 1].groupby("o_orderkey", as_index=False)["revenue_cents"].sum()
+        out = o.merge(i, on="o_orderkey", how="inner")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        return out
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def q_top_spenders(sf_dir: str):
+    """Top-k: total spend per user (exact integer cents) → global top 10,
+    deterministic ties by user_id."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "spend_cents": pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(cents, batch_format="pyarrow").groupby("user_id").aggregate(
+        Sum("spend_cents", alias_name="spend_cents")
+    )
+    top = agg.to_pandas().sort_values(
+        ["spend_cents", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    top["spend_cents"] = top["spend_cents"].astype("int64")
+    return top.reset_index(drop=True)
+
+
+def q_distinct_event_types(sf_dir: str):
+    """Set op: distinct values of one column (a shuffle)."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
 def q_cdc_apply(sf_dir: str):
     """The flagship pipeline: full windowed exactly-once CDC replay of the
     synthetic transcript log into a fresh lake; returns the final table."""
@@ -537,6 +715,12 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "change_records": q_change_records,
     "cdc_apply": q_cdc_apply,
+    "sessionize": q_sessionize,
+    "asof_view_click": q_asof_view_click,
+    "customer_region": q_customer_region,
+    "order_revenue": q_order_revenue,
+    "top_spenders": q_top_spenders,
+    "distinct_event_types": q_distinct_event_types,
 }
 
 
@@ -670,6 +854,51 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
                                 e.vec_id) AS rnk
               FROM embeddings e, q)
             WHERE rnk <= 10
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session
+              FROM e)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM s GROUP BY user_id, session
+        """,
+        "asof_view_click": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.event_id AS view_event_id, v.ts AS view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "customer_region": """
+            SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "order_revenue": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        """,
+        "top_spenders": """
+            SELECT user_id,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+            FROM events GROUP BY user_id
+            ORDER BY spend_cents DESC, user_id LIMIT 10
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
         """,
         "neardup_embeddings": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -102,6 +102,35 @@ class ParseStage:
 
         return self._finalize(batch)
 
+    def _spec_fields(self, batch: pa.Table) -> pa.ListArray | None:
+        """Optional M7/M8 path: when the log carries a raw ``update_spec``
+        JSON column (a Mongo-style update document — ``$set``/``$unset`` v1
+        or ``{$v:2, diff:{...}}`` v2), changed fields come from the golden
+        kernel (mode ≙ OTR_OPLOG_V2_EXTRACT_SUBFIELD_CHANGES).  Rows without
+        a spec fall back to the non-null payload pattern.  Per-row Python by
+        nature — exactly as in the reference (processor.go:73-117)."""
+        if "update_spec" not in batch.column_names:
+            return None
+        import json as _json
+
+        from oplogtoredis_ray.functions.changed_fields import (
+            ChangedFieldsError,
+            changed_fields,
+        )
+
+        ops = batch["op"].to_pylist()
+        specs = batch["update_spec"].to_pylist()
+        out: list[list[str] | None] = []
+        for op, spec in zip(ops, specs):
+            if spec is None:
+                out.append(None)
+                continue
+            try:
+                out.append(changed_fields(op, _json.loads(spec), v2_deep=self.cfg.v2_deep))
+            except (ChangedFieldsError, ValueError):
+                out.append([])  # unprocessable spec → empty fields + metric
+        return out
+
     def _finalize(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         for c in self.payload_cols:
@@ -115,6 +144,13 @@ class ParseStage:
         else:
             op = batch["op"].to_numpy(zero_copy_only=False)
             cf = _changed_fields_list(batch, op, self.payload_cols)
+            spec_fields = self._spec_fields(batch)
+            if spec_fields is not None:
+                merged = [
+                    sf if sf is not None else pat
+                    for sf, pat in zip(spec_fields, cf.to_pylist())
+                ]
+                cf = pa.array(merged, type=pa.list_(pa.string()))
             batch = batch.append_column("changed_fields", cf)
             pids = self._partition_ids(batch["conv_id"])
             batch = batch.append_column("partition_id", pa.array(pids, type=pa.int32()))

@@ -82,7 +82,10 @@ class ParseStage:
 
         op_valid = pc.is_in(batch["op"], value_set=pa.array(VALID_OPS))
         key_valid = pc.and_(
-            pc.is_valid(batch["conv_id"]), pc.is_valid(batch["turn_idx"])
+            pc.is_valid(batch["conv_id"]),
+            # non-null AND non-negative: the merge packs turn_idx into the
+            # low 32 bits of the key code
+            pc.fill_null(pc.greater_equal(batch["turn_idx"], 0), False),
         )
         ts_valid = pc.is_valid(batch["ts"])
         ok = pc.and_(pc.and_(pc.fill_null(op_valid, False), key_valid), ts_valid)

@@ -50,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     pg = sub.add_parser("gc", help="remove superseded state files")
     pg.add_argument("--lake", required=True)
     pg.add_argument("--dry-run", action="store_true")
+    pg.add_argument("--grace-seconds", type=float, default=900.0)
 
     pe = sub.add_parser("export", help="fan out committed lake snapshot")
     pe.add_argument("--lake", required=True)
@@ -125,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "gc":
         from oplogtoredis_ray.state.gc import collect_garbage
 
-        removed = collect_garbage(args.lake, dry_run=args.dry_run)
+        removed = collect_garbage(args.lake, dry_run=args.dry_run, grace_seconds=args.grace_seconds)
         print(json.dumps({"removed": len(removed), "dry_run": args.dry_run}))
         return 0
 

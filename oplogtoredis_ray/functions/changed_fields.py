@@ -54,9 +54,11 @@ def map_keys(doc: dict) -> list[str]:
 
 
 def is_v2_update(data: dict) -> bool:
-    """``$v == 2`` and a ``diff`` key present (oplogEntry.go:57-75)."""
+    """``$v == 2`` (any numeric 2 — BSON doubles round-trip through JSON as
+    2.0 and the reference's AsInt64OK accepts them) and a ``diff`` key
+    present (oplogEntry.go:57-75)."""
     v = data.get("$v")
-    if not isinstance(v, int) or isinstance(v, bool) or v != 2:
+    if isinstance(v, bool) or not isinstance(v, (int, float)) or v != 2:
         return False
     return "diff" in data
 

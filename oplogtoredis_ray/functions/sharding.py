@@ -81,7 +81,15 @@ def poly_hash_strings(arr) -> np.ndarray:
     lens = ends - starts
     total = int(ends[-1] - starts[0]) if len(starts) else 0
     if total == 0:
-        return np.full(len(arr), int(_POLY_SEED), dtype=np.uint64)
+        # all-empty batch: identical to the empty-string value on the main
+        # path (seed through the same finalizer) so hashing is independent
+        # of batch composition
+        h = np.full(len(arr), _POLY_SEED, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        return h
     base = starts[0]
     # flat positions of every byte, grouped by string
     seg_starts = (starts - base).astype(np.int64)

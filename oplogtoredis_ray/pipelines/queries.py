@@ -468,6 +468,8 @@ def q_change_records(sf_dir: str):
     from oplogtoredis_ray.sources.event_log import read_event_window, log_ts_bounds
     from oplogtoredis_ray.stages.parse import ParseStage
 
+    from oplogtoredis_ray.stages.parse import to_change_records
+
     log_dir = ensure_synth_log(sf_dir)
     lo, hi = log_ts_bounds(log_dir)
     cfg = PipelineConfig(num_partitions=NUM_PARTITIONS)
@@ -475,18 +477,18 @@ def q_change_records(sf_dir: str):
     ds = ds.map_batches(ParseStage(cfg), batch_format="pyarrow")
 
     def project(t: pa.Table) -> pa.Table:
-        event = pc.replace_substring_regex(t["op"], "^d$", "r")
-        doc_id = pc.cast(t["turn_idx"], pa.string())
+        cr = to_change_records(t)  # the shipped M9 kernel
         return pa.table(
             {
-                "channel": t["conv_id"],
-                "channel_doc": pc.binary_join_element_wise(t["conv_id"], doc_id, "::"),
-                "event": event,
-                "doc_id": doc_id,
-                "fields": pc.binary_join(t["changed_fields"], ","),
-                "ts": t["ts"],
-                "seq": pc.cast(t["seq"], pa.int64()),
-                "tx_idx": pc.cast(t["tx_idx"], pa.int64()),
+                "channel": cr["channel"],
+                "channel_doc": cr["channel_doc"],
+                "event": cr["event"],
+                "doc_id": cr["doc_id"],
+                # join the list for SQL-comparable output
+                "fields": pc.binary_join(cr["fields"].combine_chunks(), ","),
+                "ts": cr["ts"],
+                "seq": pc.cast(cr["seq"], pa.int64()),
+                "tx_idx": pc.cast(cr["tx_idx"], pa.int64()),
             }
         )
 

@@ -65,9 +65,10 @@ def log_ts_bounds(log_dir: str) -> tuple[int, int]:
                 col = pq.read_table(f, columns=["ts"])["ts"]
                 import pyarrow.compute as pc
 
-                fmin = pc.min(col).value.timestamp() if col.length() else None
-                fmax = pc.max(col).value.timestamp() if col.length() else None
-                if fmin is not None:
+                if col.length():
+                    # TimestampScalar.value is already int64 microseconds
+                    fmin = int(pc.min(col).value)
+                    fmax = int(pc.max(col).value)
                     lo = fmin if lo is None else min(lo, fmin)
                     hi = fmax if hi is None else max(hi, fmax)
                 break

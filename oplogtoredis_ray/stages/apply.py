@@ -109,7 +109,7 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
         else:
             fr = fold_arrow(g, payload_cols)
 
-        state = read_partition_state_arrow(lake_root, manifest)
+        state = read_partition_state_arrow(lake_root, manifest, payload_cols)
         new_state, merge_stats = merge_into_state(state, fr, payload_cols)
         rel, rows = write_partition_state_arrow(lake_root, pid, window_id, new_state)
 

@@ -33,16 +33,29 @@ def _int64(col) -> np.ndarray:
 def order_dedup_filter(
     t: pa.Table, watermark: tuple[int, int, int]
 ) -> tuple[pa.Table, int, int]:
-    """Sort by (ts, seq, tx_idx), drop exact duplicate identities (keep
-    first) and identities ≤ watermark.  Returns (table, dupes, below)."""
+    """Sort by (ts, seq, tx_idx), drop exact duplicate *replays* (same
+    identity AND same key, keep first) and identities ≤ watermark.
+    Returns (table, dupes, below).
+
+    A distinct key sharing an identity triple (corrupt upstream sequencing)
+    is kept, not silently swallowed — the reference's Lua dedup would have
+    dropped it; we deviate on the side of not losing data, and the sort
+    includes the key code so the outcome is deterministic regardless of
+    file/block arrival order."""
     ts = _int64(t["ts"])
     seq = _int64(t["seq"])
     tx = _int64(t["tx_idx"])
-    order = np.lexsort((tx, seq, ts))
-    ts, seq, tx = ts[order], seq[order], tx[order]
+    kid, _ = _key_codes(t)
+    order = np.lexsort((kid, tx, seq, ts))
+    ts, seq, tx, kid_s = ts[order], seq[order], tx[order], kid[order]
     same = np.zeros(len(ts), dtype=bool)
     if len(ts) > 1:
-        same[1:] = (np.diff(ts) == 0) & (np.diff(seq) == 0) & (np.diff(tx) == 0)
+        same[1:] = (
+            (np.diff(ts) == 0)
+            & (np.diff(seq) == 0)
+            & (np.diff(tx) == 0)
+            & (np.diff(kid_s) == 0)
+        )
     dupes = int(same.sum())
     wts, wseq, wtx = watermark
     above = (ts > wts) | ((ts == wts) & ((seq > wseq) | ((seq == wseq) & (tx > wtx))))
@@ -301,15 +314,13 @@ def merge_into_state(
     conv_all = np.concatenate([kept_conv, np.asarray(ups_conv, dtype=object)])
     turn_all = np.concatenate([kept_turn, ups_turn])
     order = np.lexsort((turn_all, conv_all))
+    order_arr = pa.array(order, type=pa.int64())
 
-    new_state = pa.table(
-        {
-            "conv_id": pa.array(conv_all[order], type=pa.string()),
-            "turn_idx": pa.array(turn_all[order], type=pa.int32()),
-            "role": out_cols["role"].take(pa.array(order, type=pa.int64())) if "role" in out_cols else pa.nulls(len(order), pa.string()),
-            "text": out_cols["text"].take(pa.array(order, type=pa.int64())) if "text" in out_cols else pa.nulls(len(order), pa.string()),
-            "tool": out_cols["tool"].take(pa.array(order, type=pa.int64())) if "tool" in out_cols else pa.nulls(len(order), pa.string()),
-            "ts": pa.array(new_ts[order], type=pa.timestamp("us")),
-        }
-    )
-    return new_state, stats
+    cols: dict[str, pa.Array] = {
+        "conv_id": pa.array(conv_all[order], type=pa.string()),
+        "turn_idx": pa.array(turn_all[order], type=pa.int32()),
+    }
+    for c in payload_cols:
+        cols[c] = out_cols[c].take(order_arr)
+    cols["ts"] = pa.array(new_ts[order], type=pa.timestamp("us"))
+    return pa.table(cols), stats

@@ -149,9 +149,15 @@ def _inverse(order: np.ndarray, n: int) -> np.ndarray:
 
 def _key_ids(g: pd.DataFrame) -> np.ndarray:
     """Dense int ids for (conv_id, turn_idx) pairs without pandas groupby:
-    factorize each column, combine, factorize the combination."""
+    factorize each column, combine, factorize the combination.
+
+    Precondition: key columns are non-null (the parse stage dead-letters
+    null keys); factorize encodes NaN as -1 which would alias another key.
+    """
     c1, _ = pd.factorize(g["conv_id"], sort=False)
     c2, _ = pd.factorize(g["turn_idx"], sort=False)
+    if (c1 < 0).any() or (c2 < 0).any():
+        raise ValueError("fold_events requires non-null conv_id/turn_idx")
     combined = c1.astype(np.int64) * (int(c2.max()) + 1 if len(c2) else 1) + c2
     kid, _ = pd.factorize(combined, sort=False)
     return kid.astype(np.int64)

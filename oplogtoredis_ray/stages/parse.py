@@ -75,11 +75,6 @@ class ParseStage:
         if n == 0:
             return self._finalize(batch)
 
-        # ensure evolution columns exist (pre-evolution fragments lack `tool`)
-        for c in self.payload_cols:
-            if c not in batch.column_names:
-                batch = batch.append_column(c, pa.nulls(n, pa.string()))
-
         op_valid = pc.is_in(batch["op"], value_set=pa.array(VALID_OPS))
         key_valid = pc.and_(
             pc.is_valid(batch["conv_id"]),

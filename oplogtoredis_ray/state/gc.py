@@ -21,12 +21,23 @@ import shutil
 from oplogtoredis_ray.state.manifest import read_all_manifests
 
 
-def collect_garbage(lake_root: str, dry_run: bool = False) -> list[str]:
+def collect_garbage(
+    lake_root: str, dry_run: bool = False, grace_seconds: float = 900.0
+) -> list[str]:
     """Delete state files not referenced by any manifest; returns the
-    removed (or would-remove) relative paths."""
+    removed (or would-remove) relative paths.
+
+    ``grace_seconds`` makes this safe while ingest runs: an apply task
+    writes its new state file *before* the manifest rename commits it, so
+    an unreferenced-but-recent file may be a commit in flight.  Only files
+    older than the grace window are eligible (set 0 only on a quiesced
+    lake)."""
+    import time
+
     referenced = {
         m.state_file for m in read_all_manifests(lake_root) if m.state_file
     }
+    cutoff = time.time() - grace_seconds
     removed: list[str] = []
     lake_dir = os.path.join(lake_root, "lake")
     if not os.path.isdir(lake_dir):
@@ -37,10 +48,17 @@ def collect_garbage(lake_root: str, dry_run: bool = False) -> list[str]:
             continue
         for fname in sorted(os.listdir(full)):
             rel = os.path.join("lake", pdir, fname)
-            if rel not in referenced:
-                removed.append(rel)
-                if not dry_run:
-                    os.unlink(os.path.join(lake_root, rel))
+            if rel in referenced:
+                continue
+            path = os.path.join(lake_root, rel)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue  # possible in-flight commit
+            except OSError:
+                continue
+            removed.append(rel)
+            if not dry_run:
+                os.unlink(path)
     return removed
 
 

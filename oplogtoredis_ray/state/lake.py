@@ -37,18 +37,32 @@ def lake_partition_dir(lake_root: str, partition_id: int) -> str:
     return os.path.join(lake_root, "lake", f"p={partition_id:05d}")
 
 
-def empty_state_table() -> pa.Table:
-    return pa.schema(STATE_SCHEMA_BASE).empty_table()
+def state_schema(payload_cols: tuple[str, ...] = ("role", "text", "tool")) -> dict:
+    """Payload-driven state schema: key columns + string payload + ts."""
+    out: dict[str, pa.DataType] = {"conv_id": pa.string(), "turn_idx": pa.int32()}
+    for c in payload_cols:
+        out[c] = pa.string()
+    out["ts"] = pa.timestamp("us")
+    return out
 
 
-def read_partition_state_arrow(lake_root: str, manifest: Manifest) -> pa.Table:
+def empty_state_table(payload_cols: tuple[str, ...] = ("role", "text", "tool")) -> pa.Table:
+    return pa.schema(state_schema(payload_cols)).empty_table()
+
+
+def read_partition_state_arrow(
+    lake_root: str,
+    manifest: Manifest,
+    payload_cols: tuple[str, ...] = ("role", "text", "tool"),
+) -> pa.Table:
     """Current state of one partition as Arrow (schema-unified, no boxing)."""
+    schema = state_schema(payload_cols)
     if manifest.state_file is None:
-        return empty_state_table()
+        return pa.schema(schema).empty_table()
     table = pq.read_table(os.path.join(lake_root, manifest.state_file))
     cols = {}
     n = len(table)
-    for name, typ in STATE_SCHEMA_BASE.items():
+    for name, typ in schema.items():
         if name in table.column_names:
             cols[name] = table[name].cast(typ)
         else:

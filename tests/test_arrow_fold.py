@@ -95,3 +95,58 @@ def test_arrow_incremental_windows_match_oracle(log):
     got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     want = oracle_apply(log)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_custom_payload_cols_survive_merge():
+    """Regression: merge_into_state must emit exactly the configured payload
+    columns, not a hardcoded set."""
+    cols = ("role", "text", "summary")
+    t = pa.table(
+        {
+            "ts": pa.array([1, 2], type=pa.int64()),
+            "seq": pa.array([0, 1], type=pa.int64()),
+            "tx_idx": pa.array([0, 0], type=pa.int64()),
+            "op": pa.array(["i", "u"]),
+            "conv_id": pa.array(["c", "c"]),
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "role": pa.array(["user", None]),
+            "text": pa.array(["a", "b"]),
+            "summary": pa.array([None, "S"]),
+        }
+    )
+    g, _, _ = order_dedup_filter(t, (-1, -1, -1))
+    fr = fold_arrow(g, payload_cols=cols)
+    state, _ = merge_into_state(empty_state_table(cols), fr, payload_cols=cols)
+    rec = state.to_pandas().to_dict("records")[0]
+    assert rec["summary"] == "S" and rec["text"] == "b" and rec["role"] == "user"
+    assert list(state.column_names) == ["conv_id", "turn_idx", "role", "text", "summary", "ts"]
+
+
+def test_identity_collision_across_keys_not_swallowed():
+    """Two DIFFERENT keys sharing an identity triple are both kept (counted
+    replays are same-key only)."""
+    t = pa.table(
+        {
+            "ts": pa.array([5, 5, 5], type=pa.int64()),
+            "seq": pa.array([0, 0, 0], type=pa.int64()),
+            "tx_idx": pa.array([0, 0, 0], type=pa.int64()),
+            "op": pa.array(["i", "i", "i"]),
+            "conv_id": pa.array(["a", "b", "a"]),
+            "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+            "role": pa.array(["user"] * 3),
+            "text": pa.array(["x", "y", "x"]),
+            "tool": pa.array([None, None, None], type=pa.string()),
+        }
+    )
+    g, dupes, below = order_dedup_filter(t, (-1, -1, -1))
+    assert dupes == 1  # only the true same-key replay dropped
+    assert len(g) == 2
+    assert sorted(g["conv_id"].to_pylist()) == ["a", "b"]
+
+
+def test_empty_string_partition_hash_batch_independent():
+    from oplogtoredis_ray.functions.sharding import poly_partition_ids
+
+    alone = poly_partition_ids(pa.array([""]), 32)[0]
+    mixed = poly_partition_ids(pa.array(["", "x", ""]), 32)
+    assert mixed[0] == alone and mixed[2] == alone

@@ -42,11 +42,11 @@ def test_gc_removes_only_superseded(small_log, tmp_path):
     referenced = {m.state_file for m in read_all_manifests(lake)}
     assert len(all_files) > len(referenced)  # superseded files exist
 
-    removed = collect_garbage(lake, dry_run=True)
+    removed = collect_garbage(lake, dry_run=True, grace_seconds=0)
     assert len(removed) == len(all_files) - len(referenced)
     assert len(glob.glob(f"{lake}/lake/p=*/state-*.parquet")) == len(all_files)
 
-    collect_garbage(lake)
+    collect_garbage(lake, grace_seconds=0)
     left = glob.glob(f"{lake}/lake/p=*/state-*.parquet")
     assert len(left) == len(referenced)
     # lake still reads correctly and matches the oracle
@@ -54,7 +54,7 @@ def test_gc_removes_only_superseded(small_log, tmp_path):
     got["ts"] = got["ts"].astype("int64")
     pd.testing.assert_frame_equal(got, oracle_apply(log), check_dtype=False)
     # idempotent
-    assert collect_garbage(lake) == []
+    assert collect_garbage(lake, grace_seconds=0) == []
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -730,6 +730,12 @@ def _synth_glob_sql(sf_name: str) -> str:
     return os.path.join(SYNTH_ROOT, sf_name, "events", "*.parquet")
 
 
+def _bpe_sql_pattern() -> str:
+    from oplogtoredis_ray.stages.text import BPE_ISH_PATTERN
+
+    return BPE_ISH_PATTERN.replace("'", "''")
+
+
 def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
     synth = _synth_glob_sql(sf_name)
     cf_fields = (
@@ -825,9 +831,10 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY 1, 2
         """,
-        "text_stats": """
+        "text_stats": f"""
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}')) AS BIGINT) AS n_tokens_bpe,
                    CAST(length(text) AS BIGINT) AS n_chars_txt,
                    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
                    CAST((10 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))

@@ -24,6 +24,34 @@ def token_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
 
 
+# BPE-ish pre-tokenizer (GPT-2-style word/number/symbol runs with leading
+# spaces and English contractions), restricted to a syntax RE2 and Python
+# `re` agree on so the DuckDB oracle can count identically
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+_BPE_RX = None
+
+
+def bpe_ish_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Sub-word-ish token counts via the BPE-style pre-tokenizer regex.
+
+    Arrow has no findall kernel, so this is a per-doc pass with a
+    module-cached compiled regex (≙ compile-once-per-actor)."""
+    global _BPE_RX
+    import re as _re
+
+    if _BPE_RX is None:
+        _BPE_RX = _re.compile(BPE_ISH_PATTERN)
+    vals = text.to_pylist()
+    out = np.fromiter(
+        (len(_BPE_RX.findall(v)) if v is not None else 0 for v in vals),
+        dtype=np.int64,
+        count=len(vals),
+    )
+    return pa.array(out, type=pa.int64())
+
+
 def alpha_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Number of ASCII alphabetic characters per document."""
     stripped = pc.replace_substring_regex(text, "[^a-zA-Z]", "")
@@ -63,6 +91,7 @@ class TextStats:
             {
                 self.id_col: batch[self.id_col],
                 "n_tokens": pc.cast(n_tok, pa.int64()),
+                "n_tokens_bpe": bpe_ish_counts(text),
                 "n_chars_txt": pc.cast(n_chars, pa.int64()),
                 "n_alpha": pc.cast(n_alpha, pa.int64()),
                 "quality_bucket": pa.array(bucket, type=pa.int64()),

@@ -21,6 +21,11 @@ Window-level lineage lives in ``_windows.json``: the driver appends a window
 after *all* its partitions committed; resume = end of the last completed
 window, and partially-applied windows are replayed idempotently (committed
 partitions skip via lineage).
+
+The write-data-then-atomically-swap-manifest protocol follows the lakehouse
+transaction-log design (Armbrust et al., "Delta Lake: High-Performance ACID
+Table Storage over Cloud Object Stores", VLDB 2020), reduced to
+one-manifest-per-partition because CDC apply partitions commute.
 """
 
 from __future__ import annotations

@@ -152,6 +152,50 @@ def run_window(
     return stats
 
 
+def run_follow(
+    log_dir: str,
+    lake_root: str,
+    cfg: PipelineConfig | None = None,
+    max_rounds: int = 1_000_000,
+    idle_rounds_to_stop: int = 1,
+    poll_sleep_s: float = 0.0,
+) -> IngestResult:
+    """Continuous tail mode (≙ the reference's endless tail loop,
+    /root/reference/lib/oplog/tail.go:151-207): repeatedly re-scan the log
+    directory for new data past the resume point and ingest it, stopping
+    after ``idle_rounds_to_stop`` consecutive empty scans.
+
+    Appended parquet files extend the log between rounds; each round is a
+    normal resumable ingest, so kill/restart semantics are identical to
+    ``run_ingest``.
+    """
+    import time
+
+    cfg = cfg or PipelineConfig()
+    total = IngestResult()
+    idle = 0
+    rounds = 0
+    while rounds < max_rounds and idle < idle_rounds_to_stop:
+        rounds += 1
+        res = run_ingest(log_dir, lake_root, cfg)
+        if res.windows_run == 0:
+            idle += 1
+            if poll_sleep_s:
+                time.sleep(poll_sleep_s)
+            continue
+        idle = 0
+        total.windows_run += res.windows_run
+        total.events_in += res.events_in
+        total.dupes_dropped += res.dupes_dropped
+        total.below_watermark += res.below_watermark
+        total.upserts += res.upserts
+        total.deletes += res.deletes
+        total.patches += res.patches
+        total.patch_misses += res.patch_misses
+        total.window_stats.extend(res.window_stats)
+    return total
+
+
 def run_ingest(
     log_dir: str,
     lake_root: str,

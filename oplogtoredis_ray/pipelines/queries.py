@@ -445,6 +445,25 @@ def q_neardup_embeddings(sf_dir: str):
     )
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF approximate top-k (the ANN scale path; recall < 1 by design, so
+    rows-only — pytest validates recall against the brute-force baseline)."""
+    import pyarrow.parquet as pq
+
+    from oplogtoredis_ray.pipelines.similarity import ivf_topk
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 4))
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist())
+    }
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=10, nlist=16, nprobe=4)
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clustering (rows-only check: random corpora have
     no near-dups, so clusters are validated by pytest on planted dups)."""
@@ -712,6 +731,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "dedup_exact_docs": q_dedup_exact_docs,
     "knn_brute": q_knn_brute,
+    "ivf_topk": q_ivf_topk,
     "neardup_embeddings": q_neardup_embeddings,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,

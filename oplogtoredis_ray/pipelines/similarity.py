@@ -127,6 +127,118 @@ class PairsAboveThreshold:
         )
 
 
+def kmeans_centroids(
+    M: np.ndarray, k: int, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on (already normalized) vectors — the IVF
+    coarse quantizer.  Runs on a driver-side sample; at 100 TB the sample
+    is a `random_sample` of the dataset, the loop stays the same."""
+    rng = np.random.default_rng(seed)
+    M = _normalize(M.astype(np.float64))
+    C = M[rng.choice(len(M), size=min(k, len(M)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for j in range(len(C)):
+            members = M[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class IVFTopK:
+    """Actor-pool IVF search stage: rows are coarse-quantized per batch and
+    only rows falling in a query's ``nprobe`` nearest clusters are scored —
+    the ANN scale path (recall < 1 by design, bounded by nprobe/nlist).
+
+    Broadcast once: (centroids, query matrix, per-query probe lists).
+    """
+
+    def __init__(self, side_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        C, query_ids, Q, probes = ray.get(side_ref)
+        self.C = C
+        self.query_ids = query_ids
+        self.Q = Q
+        self.probes = probes  # (q, nprobe) centroid ids per query
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _normalize(_matrix_from_list_column(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(E @ self.C.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(self.query_ids)):
+            mask = np.isin(assign, self.probes[qi])
+            if not mask.any():
+                continue
+            sims = E[mask] @ self.Q[qi]
+            cand_ids = ids[mask]
+            kk = min(self.k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+            out_q.append(np.full(len(top), self.query_ids[qi]))
+            out_id.append(cand_ids[top])
+            out_sim.append(sims[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+
+def ivf_topk(
+    ds,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """IVF approximate top-k: train coarse centroids on a sample, broadcast
+    (centroids + queries + probe lists) once, scan with cluster pruning,
+    merge local top-k on the driver.  Deterministic for a fixed seed."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    M = np.stack(sample[vec_col].to_numpy())
+    C = kmeans_centroids(M, nlist, seed=seed)
+    query_ids = np.array(sorted(queries.keys()))
+    Q = _normalize(np.stack([queries[i] for i in query_ids]).astype(np.float64))
+    qsims = Q @ C.T
+    probes = np.argsort(-qsims, axis=1)[:, :nprobe]
+    ref = ray.put((C, query_ids, Q, probes))
+    cand = ds.map_batches(
+        IVFTopK,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or 2,
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    cand["rank"] = cand.groupby("query_id").cumcount() + 1
+    return cand[cand["rank"] <= k][["query_id", "rank", "neighbor_id"]].reset_index(
+        drop=True
+    )
+
+
 def lsh_signatures(
     M: np.ndarray, num_planes: int = 16, seed: int = 7
 ) -> np.ndarray:

@@ -210,3 +210,40 @@ def test_corrupt_manifest_fails_closed(tmp_path):
     mpath.write_text("{corrupt")
     with pytest.raises(ManifestReadError):
         run_ingest(d, lake, cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_growing_log(tmp_path):
+    """Continuous tail: new files appended after the first catch-up are
+    ingested by subsequent rounds; final state equals the full-log oracle."""
+    from oplogtoredis_ray.pipelines.ingest import run_follow
+
+    spec = GeneratorSpec(seed=21, n_conversations=30, n_files=4)
+    log = generate_event_log(spec)
+    evo = log.attrs["evo_ts"]
+    d = tmp_path / "growing"
+    lake = str(tmp_path / "lake")
+    # first half of the files appear...
+    d.mkdir()
+    from oplogtoredis_ray.sources.synthetic import _arrow_table
+    import pyarrow.parquet as _pq
+
+    chunks = dict(tuple(log.groupby("_file", sort=True)))
+    ts_split = {fid: c for fid, c in chunks.items()}
+    first = [0, 1]
+    for fid in first:
+        c = chunks[fid]
+        _pq.write_table(_arrow_table(c, bool((c["ts"] >= evo).any())), str(d / f"events-{fid:04d}.parquet"))
+    lo, hi = log_ts_bounds(str(d))
+    cfg = _cfg(window_us=(hi - lo) // 2 + 1, num_partitions=4)
+    res1 = run_follow(str(d), lake, cfg)
+    assert res1.windows_run >= 1
+    # ...then the rest arrive
+    for fid in sorted(chunks):
+        if fid in first:
+            continue
+        c = chunks[fid]
+        _pq.write_table(_arrow_table(c, bool((c["ts"] >= evo).any())), str(d / f"events-{fid:04d}.parquet"))
+    res2 = run_follow(str(d), lake, cfg)
+    assert res2.windows_run >= 1
+    _assert_matches_oracle(lake, log)

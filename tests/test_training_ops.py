@@ -164,3 +164,39 @@ class TestMultimodal:
             concurrency=2,
         ).to_pandas()
         assert len(out) == 32
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_recall_vs_brute():
+    """IVF scale path: deterministic, self is found, recall@10 well above
+    random (cluster pruning bounded by nprobe/nlist)."""
+    import ray.data as rd
+
+    from oplogtoredis_ray.pipelines.similarity import ivf_topk
+
+    rng = np.random.default_rng(4)
+    M = rng.standard_normal((400, 32))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.ravel(), type=pa.float32()), 32
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    queries = {int(i): M[i] for i in (5, 77, 200)}
+    exact = knn_brute(ds, queries, k=10)
+    approx = ivf_topk(ds, queries, k=10, nlist=8, nprobe=3)
+    again = ivf_topk(ds, queries, k=10, nlist=8, nprobe=3)
+    pd.testing.assert_frame_equal(approx, again)  # deterministic
+    # self always lands in its own probe set
+    top1 = approx[approx["rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert all(top1[q] == q for q in queries)
+    # recall vs brute force clearly better than random
+    recalls = []
+    for q in queries:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls

@@ -159,18 +159,23 @@ def minhash_lsh_dedup(
         .drop_duplicates()
     )
 
-    # exact verification on the candidate pairs only
-    all_ids = pd.unique(pd.concat([pairs["a_id"], pairs["b_id"]])) if len(pairs) else []
+    # exact verification on the candidate pairs only: fetch candidate docs
+    # with a DISTRIBUTED filter (broadcast id set) — the driver receives
+    # only candidate-density-many rows, never scans the corpus itself
     verified = []
     if len(pairs):
-        id_set = set(int(x) for x in all_ids)
-        texts = {}
-        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-            ids_np = batch[id_col].to_numpy(zero_copy_only=False)
-            mask = np.isin(ids_np, list(id_set))
-            if mask.any():
-                for i, t in zip(ids_np[mask], np.array(batch[text_col].to_pylist(), dtype=object)[mask]):
-                    texts[int(i)] = t
+        all_ids = pd.unique(pd.concat([pairs["a_id"], pairs["b_id"]]))
+        id_arr = pa.array(np.sort(all_ids.astype(np.int64)))
+        cand_docs = (
+            ds.map_batches(
+                lambda t: t.filter(
+                    pc.is_in(t[id_col], value_set=id_arr)
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        texts = dict(zip(cand_docs[id_col].astype(int), cand_docs[text_col]))
         sh = {i: shingle_hashes(t, shingle_k) for i, t in texts.items()}
         for a, b in pairs.itertuples(index=False):
             sa, sb = sh.get(int(a)), sh.get(int(b))

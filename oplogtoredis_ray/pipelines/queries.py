@@ -464,6 +464,48 @@ def q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, k=10, nlist=16, nprobe=4)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-bigram Jaccard pairs (≥5%) on a filtered subset: the
+    distributed stage computes each doc's distinct bigram set; the driver
+    compares only the subset's pairs (at scale MinHash-LSH prunes candidates
+    first and this exact measure is the verifier).  Integer threshold
+    arithmetic keeps the SQL oracle bit-exact."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def subset(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    ds = ds.map_batches(subset, batch_format="pyarrow")
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = []
+        for txt in texts:
+            words = txt.strip().lower().split()
+            out.append(sorted({f"{a} {b}" for a, b in zip(words, words[1:])}))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "grams": pa.array(out, type=pa.list_(pa.string())),
+            }
+        )
+
+    rows = ds.map_batches(grams, batch_format="pyarrow").to_pandas()
+    sets = {int(r.doc_id): set(r.grams) for r in rows.itertuples(index=False)}
+    ids = sorted(sets)
+    a_out, b_out = [], []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter * 100 >= 5 * union:
+                a_out.append(a)
+                b_out.append(b)
+    return pd.DataFrame({"a_id": pd.array(a_out, dtype="int64"), "b_id": pd.array(b_out, dtype="int64")})
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clustering (rows-only check: random corpora have
     no near-dups, so clusters are validated by pytest on planted dups)."""
@@ -732,6 +774,7 @@ QUERIES = {
     "dedup_exact_docs": q_dedup_exact_docs,
     "knn_brute": q_knn_brute,
     "ivf_topk": q_ivf_topk,
+    "ngram_jaccard": q_ngram_jaccard,
     "neardup_embeddings": q_neardup_embeddings,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -928,6 +971,24 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE doc_id % 10 = 0),
+            g AS (
+              SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS gram
+              FROM t, UNNEST(generate_series(1, len(arr) - 1)) s(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT p.a_id, p.b_id
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a_id
+            JOIN sizes sb ON sb.doc_id = p.b_id
+            WHERE p.inter * 100 >= 5 * (sa.n + sb.n - p.inter)
         """,
         "neardup_embeddings": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -137,7 +137,7 @@ def run_window(
     if cfg.parse_concurrency is not None:
         parse_kwargs["concurrency"] = cfg.parse_concurrency
     ds = ds.map_batches(
-        ParseStage(cfg, deadletter),
+        ParseStage(cfg, deadletter, emit_changed_fields=False),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         **parse_kwargs,

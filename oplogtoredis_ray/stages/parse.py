@@ -61,11 +61,20 @@ class ParseStage:
     ``changed_fields`` and ``partition_id``; bad rows go to the dead-letter
     directory as Parquet with a ``reason`` column."""
 
-    def __init__(self, cfg: PipelineConfig, deadletter_dir: str | None = None):
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        deadletter_dir: str | None = None,
+        emit_changed_fields: bool = True,
+    ):
         self.cfg = cfg
         self.deadletter_dir = deadletter_dir
         self.deny: frozenset[str] = cfg.denylist
         self.payload_cols = tuple(cfg.payload_cols)
+        # the lake-apply path derives set-fields from the non-null pattern
+        # directly, so the ingest pipeline skips building/shuffling the
+        # changed_fields list column (the message contract still gets it)
+        self.emit_changed_fields = emit_changed_fields
         # per-actor partition-hash memo: conv ids recur across batches, so the
         # sha256 is paid once per conv per actor, not once per conv per batch
         self._pid_cache: dict[str, int] = {}
@@ -135,21 +144,23 @@ class ParseStage:
             if c not in batch.column_names:
                 batch = batch.append_column(c, pa.nulls(n, pa.string()))
         if n == 0:
-            batch = batch.append_column(
-                "changed_fields", pa.array([], type=pa.list_(pa.string()))
-            )
+            if self.emit_changed_fields:
+                batch = batch.append_column(
+                    "changed_fields", pa.array([], type=pa.list_(pa.string()))
+                )
             batch = batch.append_column("partition_id", pa.array([], type=pa.int32()))
         else:
-            op = batch["op"].to_numpy(zero_copy_only=False)
-            cf = _changed_fields_list(batch, op, self.payload_cols)
-            spec_fields = self._spec_fields(batch)
-            if spec_fields is not None:
-                merged = [
-                    sf if sf is not None else pat
-                    for sf, pat in zip(spec_fields, cf.to_pylist())
-                ]
-                cf = pa.array(merged, type=pa.list_(pa.string()))
-            batch = batch.append_column("changed_fields", cf)
+            if self.emit_changed_fields:
+                op = batch["op"].to_numpy(zero_copy_only=False)
+                cf = _changed_fields_list(batch, op, self.payload_cols)
+                spec_fields = self._spec_fields(batch)
+                if spec_fields is not None:
+                    merged = [
+                        sf if sf is not None else pat
+                        for sf, pat in zip(spec_fields, cf.to_pylist())
+                    ]
+                    cf = pa.array(merged, type=pa.list_(pa.string()))
+                batch = batch.append_column("changed_fields", cf)
             pids = self._partition_ids(batch["conv_id"])
             batch = batch.append_column("partition_id", pa.array(pids, type=pa.int32()))
         # canonical column order so unioned mixed-schema fragments line up
@@ -159,7 +170,9 @@ class ParseStage:
             if c in batch.column_names
         ]
         order += [c for c in self.payload_cols if c in batch.column_names]
-        order += ["changed_fields", "partition_id"]
+        if self.emit_changed_fields:
+            order.append("changed_fields")
+        order.append("partition_id")
         return batch.select(order)
 
     def _partition_ids(self, conv: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -112,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {
                     "partitions": len(manifests),
-                    "rows": sum(m.rows for m in manifests),
+                    "rows": sum(max(m.rows, 0) for m in manifests),
+                    "rows_unknown_partitions": sum(1 for m in manifests if m.rows < 0),
                     "completed_windows": len(windows),
                     "resume_end_us": max((w["end_us"] for w in windows), default=None),
                     "min_watermark": min(

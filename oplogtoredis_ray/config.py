@@ -60,6 +60,14 @@ class PipelineConfig:
     # or "sha256" (reference-parity P1, SQL-verifiable).  Both are stable and
     # cluster-size-independent; the choice only changes the lake layout.
     hash_algo: str = "poly64"
+    # state layout: "rewrite" = each window rewrites the partition's full
+    # state file (simple, read-optimal); "delta" = each window appends only
+    # its folded delta (pseudo-events) and readers merge-on-read, with
+    # automatic compaction once a partition accumulates compact_threshold
+    # deltas — kills the per-window write amplification of frequent small
+    # windows (the lakehouse tradeoff).
+    state_mode: str = "rewrite"
+    compact_threshold: int = 4
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

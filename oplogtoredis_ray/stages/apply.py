@@ -109,9 +109,47 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
         else:
             fr = fold_arrow(g, payload_cols)
 
-        state = read_partition_state_arrow(lake_root, manifest, payload_cols)
-        new_state, merge_stats = merge_into_state(state, fr, payload_cols)
-        rel, rows = write_partition_state_arrow(lake_root, pid, window_id, new_state)
+        if cfg.state_mode == "delta":
+            # append-only: write the window's folded pseudo-events; compact
+            # the chain once it exceeds the threshold (write amplification
+            # is then O(compact_threshold), not O(windows))
+            from oplogtoredis_ray.stages.arrow_fold import (
+                merge_chain,
+                pseudo_events_table,
+            )
+            from oplogtoredis_ray.state.lake import write_partition_delta_arrow
+
+            delta = pseudo_events_table(fr, payload_cols)
+            rel, _ = write_partition_delta_arrow(lake_root, pid, window_id, delta)
+            chain = manifest.chain() + [rel]
+            merge_stats = {
+                "deletes": fr.n_deletes,
+                "upserts": fr.n_upserts,
+                "patches": fr.n_patches,
+                "patch_misses": 0,  # resolved lazily at merge-on-read
+            }
+            if len(chain) > cfg.compact_threshold:
+                import pyarrow.parquet as _pq
+                import os as _os
+
+                tables = [
+                    _pq.read_table(_os.path.join(lake_root, r)) for r in chain
+                ]
+                compacted = merge_chain(tables, payload_cols)
+                base_rel, rows = write_partition_state_arrow(
+                    lake_root, pid, window_id, compacted
+                )
+                chain = [base_rel]
+            else:
+                rows = -1  # unknown until compaction
+            state_files = chain
+            state_file = chain[0] if len(chain) == 1 and chain[0].startswith("lake") and "delta-" not in chain[0] else None
+        else:
+            state = read_partition_state_arrow(lake_root, manifest, payload_cols)
+            new_state, merge_stats = merge_into_state(state, fr, payload_cols)
+            rel, rows = write_partition_state_arrow(lake_root, pid, window_id, new_state)
+            state_files = []
+            state_file = rel
 
         # max identity triple = last row of the sorted table (tz-safe cast)
         import pyarrow.compute as _pc
@@ -120,7 +158,8 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
         new_manifest = Manifest(
             partition_id=pid,
             watermark=(wts, int(g["seq"][-1].as_py()), int(g["tx_idx"][-1].as_py())),
-            state_file=rel,
+            state_file=state_file,
+            state_files=state_files,
             rows=rows,
             lineage=manifest.lineage + [window_id],
             metrics={

@@ -197,6 +197,71 @@ def fold_arrow_chunked(
     return fold_arrow(pseudo, payload_cols)
 
 
+def pseudo_events_table(
+    fr: FoldResult, payload_cols: tuple[str, ...] = PAYLOAD
+) -> pa.Table:
+    """Public alias: a fold result as replayable pseudo-events — also the
+    delta-file format of the ``state_mode="delta"`` lake layout."""
+    return _pseudo_events(fr, payload_cols)
+
+
+def state_rows_to_pseudo(
+    state: pa.Table, payload_cols: tuple[str, ...] = PAYLOAD
+) -> pa.Table:
+    """A compacted state table as pseudo insert events ordered BEFORE any
+    later delta: identity (row_ts, -1, -1) sorts under every real event of
+    the same key (real seq/tx are ≥ 0 and delta triples exceed the
+    compaction watermark)."""
+    n = len(state)
+    cols = {
+        "ts": pa.array(_int64(state["ts"]), type=pa.int64()),
+        "seq": pa.array(np.full(n, -1, dtype=np.int64)),
+        "tx_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+        "op": pa.array(np.full(n, "i", dtype=object), type=pa.string()),
+        "conv_id": state["conv_id"].combine_chunks()
+        if isinstance(state["conv_id"], pa.ChunkedArray)
+        else state["conv_id"],
+        "turn_idx": state["turn_idx"].combine_chunks()
+        if isinstance(state["turn_idx"], pa.ChunkedArray)
+        else state["turn_idx"],
+    }
+    for c in payload_cols:
+        col = state[c]
+        cols[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pa.table(cols)
+
+
+def merge_chain(
+    tables: list[pa.Table], payload_cols: tuple[str, ...] = PAYLOAD
+) -> pa.Table:
+    """Merge-on-read of a state-file chain (compacted bases are tables
+    without an ``op`` column; deltas are pseudo-event tables).  The fold
+    algebra makes this exact: refold the concatenated pseudo events."""
+    from oplogtoredis_ray.state.lake import empty_state_table
+
+    if not tables:
+        return empty_state_table(payload_cols)
+    parts = []
+    for t in tables:
+        if "op" not in t.column_names:
+            t = state_rows_to_pseudo(t, payload_cols)
+        # uniform identity types across bases (int64) and deltas (source types)
+        cols = {"ts": pc.cast(t["ts"], pa.int64()),
+                "seq": pc.cast(t["seq"], pa.int64()),
+                "tx_idx": pc.cast(t["tx_idx"], pa.int64())}
+        for name in t.column_names:
+            if name not in cols:
+                cols[name] = t[name]
+        parts.append(pa.table(cols))
+    evs = pa.concat_tables(parts, promote_options="permissive")
+    if len(evs) == 0:
+        return empty_state_table(payload_cols)
+    g, _, _ = order_dedup_filter(evs, (-(1 << 62), -(1 << 31), -(1 << 31)))
+    fr = fold_arrow(g, payload_cols)
+    state, _ = merge_into_state(empty_state_table(payload_cols), fr, payload_cols)
+    return state
+
+
 def _pseudo_events(fr: FoldResult, payload_cols: tuple[str, ...]) -> pa.Table:
     op = np.full(len(fr.outcome), "u", dtype=object)
     op[fr.outcome == 0] = "d"

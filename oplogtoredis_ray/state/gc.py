@@ -34,9 +34,9 @@ def collect_garbage(
     lake)."""
     import time
 
-    referenced = {
-        m.state_file for m in read_all_manifests(lake_root) if m.state_file
-    }
+    referenced: set[str] = set()
+    for m in read_all_manifests(lake_root):
+        referenced.update(m.chain())
     cutoff = time.time() - grace_seconds
     removed: list[str] = []
     lake_dir = os.path.join(lake_root, "lake")
@@ -71,23 +71,54 @@ def export_snapshot(lake_root: str, destinations: list[str]) -> dict:
     idempotent (files are content-unique by name).
     """
     manifests = read_all_manifests(lake_root)
-    pinned = [(m.partition_id, m.state_file, m.rows, list(m.watermark)) for m in manifests if m.state_file]
-    stats = {"partitions": len(pinned), "rows": sum(p[2] for p in pinned), "destinations": []}
+    # pin a consistent chain snapshot; delta chains are compacted into the
+    # destination copy (one file per partition, rows known)
+    pinned = []
+    for m in manifests:
+        chain = m.chain()
+        if not chain:
+            continue
+        if len(chain) == 1 and "delta-" not in os.path.basename(chain[0]):
+            import pyarrow.parquet as pq
+
+            rows = m.rows if m.rows >= 0 else pq.read_metadata(
+                os.path.join(lake_root, chain[0])
+            ).num_rows
+            pinned.append((m.partition_id, chain[0], None, rows, list(m.watermark)))
+        else:
+            import pyarrow.parquet as pq
+
+            from oplogtoredis_ray.stages.arrow_fold import merge_chain
+
+            tables = [pq.read_table(os.path.join(lake_root, r)) for r in chain]
+            merged = merge_chain(tables)
+            pinned.append(
+                (m.partition_id, None, merged, len(merged), list(m.watermark))
+            )
+    stats = {"partitions": len(pinned), "rows": sum(p[3] for p in pinned), "destinations": []}
     for dest in destinations:
         os.makedirs(dest, exist_ok=True)
         copied = 0
-        for pid, rel, rows, wm in pinned:
-            src = os.path.join(lake_root, rel)
-            dst = os.path.join(dest, os.path.basename(rel))
-            if not os.path.exists(dst):
-                shutil.copy2(src, dst)
-                copied += 1
-        snap = {
-            "partitions": [
-                {"partition_id": pid, "file": os.path.basename(rel), "rows": rows, "watermark": wm}
-                for pid, rel, rows, wm in pinned
-            ]
-        }
+        entries = []
+        for pid, rel, merged, rows, wm in pinned:
+            if rel is not None:
+                dst_name = os.path.basename(rel)
+                dst = os.path.join(dest, dst_name)
+                if not os.path.exists(dst):
+                    shutil.copy2(os.path.join(lake_root, rel), dst)
+                    copied += 1
+            else:
+                import pyarrow.parquet as pq
+
+                dst_name = f"state-snapshot-p{pid:05d}.parquet"
+                dst = os.path.join(dest, dst_name)
+                if not os.path.exists(dst):
+                    pq.write_table(merged, dst)
+                    copied += 1
+            entries.append(
+                {"partition_id": pid, "file": dst_name, "rows": rows, "watermark": wm}
+            )
+        snap = {"partitions": entries}
         tmp = os.path.join(dest, "_snapshot.json.tmp")
         with open(tmp, "w") as f:
             json.dump(snap, f)

@@ -50,16 +50,7 @@ def empty_state_table(payload_cols: tuple[str, ...] = ("role", "text", "tool")) 
     return pa.schema(state_schema(payload_cols)).empty_table()
 
 
-def read_partition_state_arrow(
-    lake_root: str,
-    manifest: Manifest,
-    payload_cols: tuple[str, ...] = ("role", "text", "tool"),
-) -> pa.Table:
-    """Current state of one partition as Arrow (schema-unified, no boxing)."""
-    schema = state_schema(payload_cols)
-    if manifest.state_file is None:
-        return pa.schema(schema).empty_table()
-    table = pq.read_table(os.path.join(lake_root, manifest.state_file))
+def _unify_to_schema(table: pa.Table, schema: dict) -> pa.Table:
     cols = {}
     n = len(table)
     for name, typ in schema.items():
@@ -70,12 +61,44 @@ def read_partition_state_arrow(
     return pa.table(cols)
 
 
+def read_partition_state_arrow(
+    lake_root: str,
+    manifest: Manifest,
+    payload_cols: tuple[str, ...] = ("role", "text", "tool"),
+) -> pa.Table:
+    """Current state of one partition as Arrow (schema-unified, no boxing).
+    Delta chains are merged on read via the fold algebra."""
+    schema = state_schema(payload_cols)
+    chain = manifest.chain()
+    if not chain:
+        return pa.schema(schema).empty_table()
+    tables = [pq.read_table(os.path.join(lake_root, rel)) for rel in chain]
+    if len(tables) == 1 and "op" not in tables[0].column_names:
+        return _unify_to_schema(tables[0], schema)
+    from oplogtoredis_ray.stages.arrow_fold import merge_chain
+
+    return _unify_to_schema(merge_chain(tables, payload_cols), schema)
+
+
 def write_partition_state_arrow(
     lake_root: str, partition_id: int, window_id: str, table: pa.Table
 ) -> tuple[str, int]:
     pdir = lake_partition_dir(lake_root, partition_id)
     os.makedirs(pdir, exist_ok=True)
     fname = f"state-{window_id}-{uuid.uuid4().hex[:8]}.parquet"
+    rel = os.path.join("lake", f"p={partition_id:05d}", fname)
+    pq.write_table(table, os.path.join(lake_root, rel))
+    return rel, len(table)
+
+
+def write_partition_delta_arrow(
+    lake_root: str, partition_id: int, window_id: str, table: pa.Table
+) -> tuple[str, int]:
+    """Delta layout: the window's folded pseudo-events only (named so
+    readers can tell deltas from compacted state at a glance)."""
+    pdir = lake_partition_dir(lake_root, partition_id)
+    os.makedirs(pdir, exist_ok=True)
+    fname = f"delta-{window_id}-{uuid.uuid4().hex[:8]}.parquet"
     rel = os.path.join("lake", f"p={partition_id:05d}", fname)
     pq.write_table(table, os.path.join(lake_root, rel))
     return rel, len(table)
@@ -120,20 +143,44 @@ def write_partition_state(
     return rel, len(df)
 
 
-def read_lake(lake_root: str):
-    """The whole lake as a Ray Dataset (one fragment per partition state
-    file, resolved through manifests so only committed files are read)."""
+def read_lake(lake_root: str, payload_cols: tuple[str, ...] = ("role", "text", "tool")):
+    """The whole lake as a Ray Dataset, resolved through manifests so only
+    committed files are read.  Plain state files are read directly; delta
+    chains are merged-on-read with one Ray task per partition."""
+    import ray
     import ray.data as rd
 
     from oplogtoredis_ray.state.manifest import read_all_manifests
 
-    files = [
-        os.path.join(lake_root, m.state_file)
-        for m in read_all_manifests(lake_root)
-        if m.state_file is not None
+    manifests = [m for m in read_all_manifests(lake_root) if m.chain()]
+    plain = [
+        os.path.join(lake_root, m.chain()[0])
+        for m in manifests
+        if len(m.chain()) == 1 and "delta-" not in os.path.basename(m.chain()[0])
     ]
-    if not files:
-        schema = pa.schema(STATE_SCHEMA_BASE)
-        return rd.from_arrow(schema.empty_table())
-    # partitioning=None: `p=NNNNN` dirs are state layout, not hive columns
-    return rd.read_parquet(files, partitioning=None)
+    chains = [m for m in manifests if os.path.join(lake_root, m.chain()[0]) not in set(plain)]
+
+    datasets = []
+    if plain:
+        # partitioning=None: `p=NNNNN` dirs are state layout, not hive columns
+        datasets.append(rd.read_parquet(plain, partitioning=None))
+    if chains:
+
+        @ray.remote
+        def _merge(rels: list[str]) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            from oplogtoredis_ray.stages.arrow_fold import merge_chain
+
+            tables = [_pq.read_table(os.path.join(lake_root, r)) for r in rels]
+            merged = merge_chain(tables, payload_cols)
+            return _unify_to_schema(merged, state_schema(payload_cols))
+
+        refs = [_merge.remote(m.chain()) for m in chains]
+        datasets.append(rd.from_arrow_refs(refs))
+    if not datasets:
+        return rd.from_arrow(pa.schema(state_schema(payload_cols)).empty_table())
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    return ds

@@ -44,16 +44,26 @@ ZERO_WATERMARK: Watermark = (-1, -1, -1)
 class Manifest:
     partition_id: int
     watermark: Watermark = ZERO_WATERMARK
-    state_file: str | None = None  # relative to lake root
-    rows: int = 0
+    state_file: str | None = None  # rewrite mode: the single current state
+    # delta mode: ordered chain of files (a compacted base and/or deltas);
+    # readers merge-on-read in this order
+    state_files: list[str] = field(default_factory=list)
+    rows: int = 0  # -1 = unknown until next compaction (delta mode)
     lineage: list[str] = field(default_factory=list)  # applied window ids
     metrics: dict = field(default_factory=dict)
+
+    def chain(self) -> list[str]:
+        """All live files in apply order (either layout)."""
+        if self.state_files:
+            return list(self.state_files)
+        return [self.state_file] if self.state_file else []
 
     def to_json(self) -> dict:
         return {
             "partition_id": self.partition_id,
             "watermark": list(self.watermark),
             "state_file": self.state_file,
+            "state_files": self.state_files,
             "rows": self.rows,
             "lineage": self.lineage,
             "metrics": self.metrics,
@@ -65,6 +75,7 @@ class Manifest:
             partition_id=int(obj["partition_id"]),
             watermark=tuple(obj["watermark"]),  # type: ignore[arg-type]
             state_file=obj.get("state_file"),
+            state_files=list(obj.get("state_files", [])),
             rows=int(obj.get("rows", 0)),
             lineage=list(obj.get("lineage", [])),
             metrics=dict(obj.get("metrics", {})),

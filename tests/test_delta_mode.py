@@ -1,0 +1,114 @@
+"""Delta state layout: append-only windows + merge-on-read + compaction must
+produce byte-identical final state to the rewrite layout and the oracle."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from oplogtoredis_ray.config import PipelineConfig
+from oplogtoredis_ray.pipelines.ingest import run_ingest
+from oplogtoredis_ray.sources.event_log import log_ts_bounds
+from oplogtoredis_ray.sources.synthetic import (
+    GeneratorSpec,
+    generate_event_log,
+    oracle_apply,
+    write_event_log,
+)
+from oplogtoredis_ray.state.gc import collect_garbage, export_snapshot
+from oplogtoredis_ray.state.lake import read_lake
+from oplogtoredis_ray.state.manifest import read_all_manifests
+
+SPEC = GeneratorSpec(seed=17, n_conversations=60, duplicate_rate=0.04, txn_rate=0.05)
+
+
+@pytest.fixture(scope="module")
+def log_df():
+    return generate_event_log(SPEC)
+
+
+@pytest.fixture()
+def log_dir(tmp_path, log_df):
+    d = tmp_path / "events"
+    write_event_log(log_df, str(d))
+    return str(d)
+
+
+def _final(lake):
+    df = read_lake(lake).to_pandas()
+    df["ts"] = df["ts"].astype("int64")
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _cfg(log_dir, n_windows, **kw):
+    lo, hi = log_ts_bounds(log_dir)
+    return PipelineConfig(
+        num_partitions=4,
+        window_us=(hi - lo) // n_windows + 1,
+        state_mode="delta",
+        **kw,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeltaMode:
+    def test_delta_matches_oracle_no_compaction(self, log_dir, log_df, tmp_lake):
+        cfg = _cfg(log_dir, 3, compact_threshold=10)  # never compacts
+        run_ingest(log_dir, tmp_lake, cfg)
+        deltas = glob.glob(f"{tmp_lake}/lake/p=*/delta-*.parquet")
+        assert len(deltas) > 0
+        assert not glob.glob(f"{tmp_lake}/lake/p=*/state-*.parquet")
+        pd.testing.assert_frame_equal(
+            _final(tmp_lake), oracle_apply(log_df), check_dtype=False
+        )
+
+    def test_delta_compaction_collapses_chain(self, log_dir, log_df, tmp_lake):
+        cfg = _cfg(log_dir, 6, compact_threshold=2)  # compacts repeatedly
+        run_ingest(log_dir, tmp_lake, cfg)
+        for m in read_all_manifests(tmp_lake):
+            assert len(m.chain()) <= 3  # threshold+1 at most
+        # at least one partition holds a compacted base
+        assert glob.glob(f"{tmp_lake}/lake/p=*/state-*.parquet")
+        pd.testing.assert_frame_equal(
+            _final(tmp_lake), oracle_apply(log_df), check_dtype=False
+        )
+
+    def test_delta_equals_rewrite(self, log_dir, log_df, tmp_path):
+        lake_d, lake_r = str(tmp_path / "d"), str(tmp_path / "r")
+        run_ingest(log_dir, lake_d, _cfg(log_dir, 4, compact_threshold=3))
+        lo, hi = log_ts_bounds(log_dir)
+        run_ingest(
+            log_dir,
+            lake_r,
+            PipelineConfig(num_partitions=4, window_us=(hi - lo) // 4 + 1),
+        )
+        pd.testing.assert_frame_equal(_final(lake_d), _final(lake_r))
+
+    def test_delta_resume_and_idempotence(self, log_dir, log_df, tmp_lake):
+        cfg = _cfg(log_dir, 4, compact_threshold=2)
+        run_ingest(log_dir, tmp_lake, cfg, max_windows=2)
+        res2 = run_ingest(log_dir, tmp_lake, cfg)  # resume rest
+        assert res2.windows_run == 2
+        before = _final(tmp_lake)
+        res3 = run_ingest(log_dir, tmp_lake, cfg)  # no-op
+        assert res3.windows_run == 0
+        pd.testing.assert_frame_equal(before, _final(tmp_lake))
+        pd.testing.assert_frame_equal(before, oracle_apply(log_df), check_dtype=False)
+
+    def test_delta_gc_and_export(self, log_dir, log_df, tmp_lake, tmp_path):
+        cfg = _cfg(log_dir, 5, compact_threshold=2)
+        run_ingest(log_dir, tmp_lake, cfg)
+        # GC removes superseded deltas/bases but never chain members
+        collect_garbage(tmp_lake, grace_seconds=0)
+        pd.testing.assert_frame_equal(
+            _final(tmp_lake), oracle_apply(log_df), check_dtype=False
+        )
+        dest = str(tmp_path / "exp")
+        stats = export_snapshot(tmp_lake, [dest])
+        import pyarrow.parquet as pq
+
+        total = sum(
+            pq.read_metadata(f).num_rows for f in glob.glob(f"{dest}/state-*.parquet")
+        )
+        assert total == stats["rows"] == len(oracle_apply(log_df))

@@ -132,6 +132,30 @@ def _run_bench() -> None:
         "partition_assign",
     ]
     query_secs: dict[str, float] = {"cdc_apply": head["sec"]}
+
+    # sustained-ingest variant: 8 resumable windows in the append-only delta
+    # layout (compaction threshold 4) — the frequent-window regime
+    from oplogtoredis_ray.config import PipelineConfig
+    from oplogtoredis_ray.pipelines.ingest import run_ingest
+    from oplogtoredis_ray.pipelines.queries import ensure_synth_log
+    from oplogtoredis_ray.sources.event_log import log_ts_bounds
+
+    log_dir = ensure_synth_log(sf_dir)
+    lo, hi = log_ts_bounds(log_dir)
+    n_files = len(glob.glob(os.path.join(log_dir, "*.parquet")))
+    P = 128 if head["events"] >= 10_000_000 else 64
+    dcfg = PipelineConfig(
+        num_partitions=P,
+        read_blocks=max(P, n_files),
+        window_us=(hi - lo) // 8 + 1,
+        state_mode="delta",
+        compact_threshold=4,
+    )
+    lake = tempfile.mkdtemp(prefix="otr_bench_delta_")
+    t0 = time.perf_counter()
+    run_ingest(log_dir, lake, dcfg)
+    query_secs["cdc_apply_8windows_delta"] = round(time.perf_counter() - t0, 3)
+
     for name in timed:
         fn = QUERIES[name]
         t0 = time.perf_counter()

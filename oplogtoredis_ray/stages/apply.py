@@ -117,33 +117,34 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
                 merge_chain,
                 pseudo_events_table,
             )
-            from oplogtoredis_ray.state.lake import write_partition_delta_arrow
+            from oplogtoredis_ray.state.lake import (
+                merge_partition_chain,
+                write_partition_delta_arrow,
+            )
 
             delta = pseudo_events_table(fr, payload_cols)
-            rel, _ = write_partition_delta_arrow(lake_root, pid, window_id, delta)
-            chain = manifest.chain() + [rel]
             merge_stats = {
                 "deletes": fr.n_deletes,
                 "upserts": fr.n_upserts,
                 "patches": fr.n_patches,
                 "patch_misses": 0,  # resolved lazily at merge-on-read
             }
-            if len(chain) > cfg.compact_threshold:
-                import pyarrow.parquet as _pq
-                import os as _os
-
-                tables = [
-                    _pq.read_table(_os.path.join(lake_root, r)) for r in chain
-                ]
-                compacted = merge_chain(tables, payload_cols)
+            prior = manifest.chain()
+            if len(prior) + 1 > cfg.compact_threshold:
+                # compact directly with the in-memory delta — the delta file
+                # would be orphaned the moment the chain collapses
+                base = merge_partition_chain(lake_root, prior, payload_cols)
+                compacted = merge_chain([base, delta], payload_cols)
                 base_rel, rows = write_partition_state_arrow(
                     lake_root, pid, window_id, compacted
                 )
-                chain = [base_rel]
+                state_files = [base_rel]
+                state_file = base_rel
             else:
+                rel, _ = write_partition_delta_arrow(lake_root, pid, window_id, delta)
+                state_files = prior + [rel]
+                state_file = None
                 rows = -1  # unknown until compaction
-            state_files = chain
-            state_file = chain[0] if len(chain) == 1 and chain[0].startswith("lake") and "delta-" not in chain[0] else None
         else:
             state = read_partition_state_arrow(lake_root, manifest, payload_cols)
             new_state, merge_stats = merge_into_state(state, fr, payload_cols)

@@ -62,36 +62,38 @@ def collect_garbage(
     return removed
 
 
-def export_snapshot(lake_root: str, destinations: list[str]) -> dict:
+def export_snapshot(
+    lake_root: str,
+    destinations: list[str],
+    payload_cols: tuple[str, ...] = ("role", "text", "tool"),
+) -> dict:
     """Copy the committed lake state to every destination directory.
 
     The manifest set is read ONCE, pinning a consistent snapshot even if
-    windows keep committing during the copy.  Each destination receives the
-    partition state files plus a ``_snapshot.json`` manifest; re-exports are
-    idempotent (files are content-unique by name).
+    windows keep committing during the copy.  Each destination receives one
+    state file per partition plus a ``_snapshot.json`` manifest.  Delta
+    chains are compacted into the destination copy.  Re-exports are
+    idempotent because every destination file name is content-identifying:
+    plain state files carry their window-id + uuid, merged snapshots embed
+    the partition watermark.
     """
+    import pyarrow.parquet as pq
+
+    from oplogtoredis_ray.state.lake import chain_is_plain, merge_partition_chain
+
     manifests = read_all_manifests(lake_root)
-    # pin a consistent chain snapshot; delta chains are compacted into the
-    # destination copy (one file per partition, rows known)
     pinned = []
     for m in manifests:
         chain = m.chain()
         if not chain:
             continue
-        if len(chain) == 1 and "delta-" not in os.path.basename(chain[0]):
-            import pyarrow.parquet as pq
-
+        if chain_is_plain(chain):
             rows = m.rows if m.rows >= 0 else pq.read_metadata(
                 os.path.join(lake_root, chain[0])
             ).num_rows
             pinned.append((m.partition_id, chain[0], None, rows, list(m.watermark)))
         else:
-            import pyarrow.parquet as pq
-
-            from oplogtoredis_ray.stages.arrow_fold import merge_chain
-
-            tables = [pq.read_table(os.path.join(lake_root, r)) for r in chain]
-            merged = merge_chain(tables)
+            merged = merge_partition_chain(lake_root, chain, payload_cols)
             pinned.append(
                 (m.partition_id, None, merged, len(merged), list(m.watermark))
             )
@@ -108,9 +110,8 @@ def export_snapshot(lake_root: str, destinations: list[str]) -> dict:
                     shutil.copy2(os.path.join(lake_root, rel), dst)
                     copied += 1
             else:
-                import pyarrow.parquet as pq
-
-                dst_name = f"state-snapshot-p{pid:05d}.parquet"
+                wm_tag = "-".join(str(int(x)) for x in wm)
+                dst_name = f"state-snapshot-p{pid:05d}-wm{wm_tag}.parquet"
                 dst = os.path.join(dest, dst_name)
                 if not os.path.exists(dst):
                     pq.write_table(merged, dst)

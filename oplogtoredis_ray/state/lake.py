@@ -61,15 +61,16 @@ def _unify_to_schema(table: pa.Table, schema: dict) -> pa.Table:
     return pa.table(cols)
 
 
-def read_partition_state_arrow(
+def merge_partition_chain(
     lake_root: str,
-    manifest: Manifest,
+    chain: list[str],
     payload_cols: tuple[str, ...] = ("role", "text", "tool"),
 ) -> pa.Table:
-    """Current state of one partition as Arrow (schema-unified, no boxing).
-    Delta chains are merged on read via the fold algebra."""
+    """THE chain reader: load a manifest's state-file chain and merge it to
+    the current partition state (single plain state file → read verbatim;
+    anything else → fold-algebra merge-on-read).  Every consumer of chains
+    (apply compaction, lake reads, exports) goes through here."""
     schema = state_schema(payload_cols)
-    chain = manifest.chain()
     if not chain:
         return pa.schema(schema).empty_table()
     tables = [pq.read_table(os.path.join(lake_root, rel)) for rel in chain]
@@ -78,6 +79,22 @@ def read_partition_state_arrow(
     from oplogtoredis_ray.stages.arrow_fold import merge_chain
 
     return _unify_to_schema(merge_chain(tables, payload_cols), schema)
+
+
+def chain_is_plain(chain: list[str]) -> bool:
+    """True when the chain is a single compacted/rewritten state file that
+    can be read verbatim (no merge needed)."""
+    return len(chain) == 1 and "delta-" not in os.path.basename(chain[0])
+
+
+def read_partition_state_arrow(
+    lake_root: str,
+    manifest: Manifest,
+    payload_cols: tuple[str, ...] = ("role", "text", "tool"),
+) -> pa.Table:
+    """Current state of one partition as Arrow (schema-unified, no boxing).
+    Delta chains are merged on read via the fold algebra."""
+    return merge_partition_chain(lake_root, manifest.chain(), payload_cols)
 
 
 def write_partition_state_arrow(
@@ -104,19 +121,14 @@ def write_partition_delta_arrow(
     return rel, len(table)
 
 
-def read_partition_state(lake_root: str, manifest: Manifest) -> pd.DataFrame:
-    """Current state of one partition as pandas (empty frame if none)."""
-    if manifest.state_file is None:
-        return pd.DataFrame(
-            {name: pd.Series(dtype="object") for name in STATE_SCHEMA_BASE}
-        )
-    path = os.path.join(lake_root, manifest.state_file)
-    table = pq.read_table(path)
-    df = table.to_pandas(types_mapper=None)
-    for col in STATE_SCHEMA_BASE:
-        if col not in df.columns:
-            df[col] = None
-    return df[list(STATE_SCHEMA_BASE)]
+def read_partition_state(
+    lake_root: str,
+    manifest: Manifest,
+    payload_cols: tuple[str, ...] = ("role", "text", "tool"),
+) -> pd.DataFrame:
+    """Current state of one partition as pandas (delta chains merged)."""
+    table = read_partition_state_arrow(lake_root, manifest, payload_cols)
+    return table.to_pandas()
 
 
 def write_partition_state(
@@ -156,9 +168,9 @@ def read_lake(lake_root: str, payload_cols: tuple[str, ...] = ("role", "text", "
     plain = [
         os.path.join(lake_root, m.chain()[0])
         for m in manifests
-        if len(m.chain()) == 1 and "delta-" not in os.path.basename(m.chain()[0])
+        if chain_is_plain(m.chain())
     ]
-    chains = [m for m in manifests if os.path.join(lake_root, m.chain()[0]) not in set(plain)]
+    chains = [m for m in manifests if not chain_is_plain(m.chain())]
 
     datasets = []
     if plain:
@@ -168,13 +180,7 @@ def read_lake(lake_root: str, payload_cols: tuple[str, ...] = ("role", "text", "
 
         @ray.remote
         def _merge(rels: list[str]) -> pa.Table:
-            import pyarrow.parquet as _pq
-
-            from oplogtoredis_ray.stages.arrow_fold import merge_chain
-
-            tables = [_pq.read_table(os.path.join(lake_root, r)) for r in rels]
-            merged = merge_chain(tables, payload_cols)
-            return _unify_to_schema(merged, state_schema(payload_cols))
+            return merge_partition_chain(lake_root, rels, payload_cols)
 
         refs = [_merge.remote(m.chain()) for m in chains]
         datasets.append(rd.from_arrow_refs(refs))

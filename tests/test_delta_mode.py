@@ -112,3 +112,70 @@ class TestDeltaMode:
             pq.read_metadata(f).num_rows for f in glob.glob(f"{dest}/state-*.parquet")
         )
         assert total == stats["rows"] == len(oracle_apply(log_df))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delta_custom_payload_cols_roundtrip(tmp_path):
+    """Regression: delta chains must preserve non-default payload columns
+    through apply, merge-on-read, read_lake and export."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oplogtoredis_ray.stages.apply import make_apply_fn
+    from oplogtoredis_ray.state.lake import read_partition_state, read_partition_state_arrow
+    from oplogtoredis_ray.state.manifest import read_manifest
+
+    cols = ("role", "text", "meta")
+    lake = str(tmp_path / "lake")
+    cfg = PipelineConfig(
+        num_partitions=1, payload_cols=cols, state_mode="delta", compact_threshold=10
+    )
+
+    def _batch(ts, op, text, meta):
+        return pa.table(
+            {
+                "ts": pa.array([ts], type=pa.timestamp("us")),
+                "seq": pa.array([0], type=pa.int32()),
+                "tx_idx": pa.array([0], type=pa.int32()),
+                "op": pa.array([op]),
+                "conv_id": pa.array(["c"]),
+                "turn_idx": pa.array([0], type=pa.int32()),
+                "role": pa.array(["user"]),
+                "text": pa.array([text]),
+                "meta": pa.array([meta]),
+                "partition_id": pa.array([0], type=pa.int32()),
+            }
+        )
+
+    make_apply_fn(lake, "w1", cfg)(_batch(1, "i", "a", "M1"))
+    make_apply_fn(lake, "w2", cfg)(_batch(2, "u", "b", None))
+    m = read_manifest(lake, 0)
+    assert len(m.chain()) == 2
+    st = read_partition_state_arrow(lake, m, cols).to_pandas()
+    assert st.iloc[0]["meta"] == "M1" and st.iloc[0]["text"] == "b"
+    # pandas variant merges chains too
+    st2 = read_partition_state(lake, m, cols)
+    assert st2.iloc[0]["meta"] == "M1"
+    # export preserves custom payload
+    from oplogtoredis_ray.state.gc import export_snapshot
+
+    dest = str(tmp_path / "exp")
+    export_snapshot(lake, [dest], payload_cols=cols)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    f = _glob.glob(f"{dest}/state-snapshot-*.parquet")[0]
+    exp = pq.read_table(f).to_pandas()
+    assert exp.iloc[0]["meta"] == "M1"
+    # re-export after another window refreshes the snapshot (watermark name)
+    make_apply_fn(lake, "w3", cfg)(_batch(3, "u", "c", "M2"))
+    export_snapshot(lake, [dest], payload_cols=cols)
+    files = sorted(_glob.glob(f"{dest}/state-snapshot-*.parquet"))
+    assert len(files) == 2  # new watermark → new content-identified file
+    import json as _json
+
+    snap = _json.load(open(f"{dest}/_snapshot.json"))
+    latest = snap["partitions"][0]["file"]
+    got = pq.read_table(f"{dest}/{latest}").to_pandas()
+    assert got.iloc[0]["meta"] == "M2" and got.iloc[0]["text"] == "c"

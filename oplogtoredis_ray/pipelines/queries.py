@@ -734,6 +734,70 @@ def q_distinct_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": vals})
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic ~5% sample: hash-bucket membership instead of RNG so
+    the sample is reproducible across engines, runs and cluster sizes (the
+    production-correct way to sample for eval sets)."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.sha256(str(int(i)).encode()).digest()[:4], "big"
+                )
+                % 100
+                < 5
+                for i in ids
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def q_running_total(sf_dir: str):
+    """Ordered window aggregate: per-user running total of integer cents in
+    (ts, event_id) order — groupby.map_groups over the sorted group."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100).astype("int64")
+        g = g.assign(running_cents=np.cumsum(cents))
+        return g[["event_id", "user_id", "running_cents"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+def q_anti_join_users(sf_dir: str):
+    """Broadcast anti-semi-join: event users outside the first 100 customer
+    keys (the denylist pattern generalized — small side shipped once as a
+    set)."""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )["c_custkey"]
+    key_set = pa.array(
+        sorted({int(k) for k in keys.to_pylist() if int(k) < 100}), type=pa.int64()
+    )
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.fill_null(pc.is_in(t["user_id"], value_set=key_set), False))
+        return t.filter(keep)
+
+    out = ds.map_batches(anti, batch_format="pyarrow")
+    vals = sorted(out.unique("user_id") or [])
+    return pd.DataFrame({"user_id": pd.array(vals, dtype="int64")})
+
+
 def q_cdc_apply(sf_dir: str):
     """The flagship pipeline: full windowed exactly-once CDC replay of the
     synthetic transcript log into a fresh lake; returns the final table."""
@@ -786,6 +850,9 @@ QUERIES = {
     "order_revenue": q_order_revenue,
     "top_spenders": q_top_spenders,
     "distinct_event_types": q_distinct_event_types,
+    "hash_sample": q_hash_sample,
+    "running_total": q_running_total,
+    "anti_join_users": q_anti_join_users,
 }
 
 
@@ -971,6 +1038,21 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events
+        """,
+        "hash_sample": """
+            SELECT event_id, user_id, value FROM events
+            WHERE ('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 8))::UINTEGER % 100 < 5
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "anti_join_users": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
         """,
         "ngram_jaccard": """
             WITH t AS (

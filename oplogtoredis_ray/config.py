@@ -68,6 +68,12 @@ class PipelineConfig:
     # windows (the lakehouse tradeoff).
     state_mode: str = "rewrite"
     compact_threshold: int = 4
+    # distributed salted fold: pre-fold (partition, ts-salt) sub-groups in a
+    # first exchange, then apply the (much smaller) pseudo-events per
+    # partition — for hot partitions too big for one task/node.  The in-task
+    # chunked fold (salt_rows_threshold) covers single-node skew; this
+    # distributes it.  0 = off.
+    distributed_salt_buckets: int = 0
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

@@ -142,10 +142,55 @@ def run_window(
         batch_size=cfg.batch_size,
         **parse_kwargs,
     )
-    apply_fn = make_apply_fn(lake_root, wid, cfg)
-    stats_ds = ds.groupby("partition_id").map_groups(
-        apply_fn, batch_format="pyarrow"
-    )
+    if cfg.distributed_salt_buckets > 1:
+        # two-stage salted fold (north_rule skew): stage A pre-folds each
+        # (partition, ts-salt) sub-group into pseudo-events — the hot
+        # partition's work spreads over S tasks; stage B applies the much
+        # smaller pseudo stream per partition.  Correct because the fold is
+        # associative over ts-contiguous chunks and pseudo-events carry
+        # their last real identity triples (salt order ≡ triple order).
+        import numpy as np
+        import pyarrow as pa
+
+        from oplogtoredis_ray.stages.arrow_fold import (
+            fold_arrow,
+            order_dedup_filter,
+            pseudo_events_table,
+        )
+
+        S = cfg.distributed_salt_buckets
+        span = max((end_us - start_us) // S + 1, 1)
+        payload = tuple(cfg.payload_cols)
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            salt = ((ts - start_us) // span).astype(np.int32)
+            return t.append_column("salt", pa.array(salt))
+
+        def prefold(group: pa.Table) -> pa.Table:
+            pid = group["partition_id"][0].as_py()  # group = one (pid, salt)
+            g, _, _ = order_dedup_filter(group, (-(1 << 62), -1, -1))
+            pseudo = pseudo_events_table(fold_arrow(g, payload), payload)
+            return pseudo.append_column(
+                "partition_id",
+                pa.array(np.full(len(pseudo), pid, dtype=np.int32)),
+            )
+
+        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+        pseudo_ds = ds.groupby(["partition_id", "salt"]).map_groups(
+            prefold, batch_format="pyarrow"
+        )
+        apply_fn = make_apply_fn(lake_root, wid, cfg)
+        stats_ds = pseudo_ds.groupby("partition_id").map_groups(
+            apply_fn, batch_format="pyarrow"
+        )
+    else:
+        apply_fn = make_apply_fn(lake_root, wid, cfg)
+        stats_ds = ds.groupby("partition_id").map_groups(
+            apply_fn, batch_format="pyarrow"
+        )
     stats = stats_ds.to_pandas()
     if len(stats) == 0:
         stats = pd.DataFrame(columns=STATS_COLUMNS)

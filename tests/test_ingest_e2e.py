@@ -247,3 +247,28 @@ def test_follow_growing_log(tmp_path):
     res2 = run_follow(str(d), lake, cfg)
     assert res2.windows_run >= 1
     _assert_matches_oracle(lake, log)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_salt_fold_matches_oracle(tmp_path):
+    """Two-stage salted fold: pre-fold per (partition, ts-salt) then apply
+    pseudo-events per partition — must equal the oracle (hot-key log)."""
+    spec = GeneratorSpec(
+        seed=41, n_conversations=12, zipf_a=1.05, max_turns=400, duplicate_rate=0.03,
+        txn_rate=0.05,
+    )
+    log = generate_event_log(spec)
+    d = tmp_path / "hot"
+    write_event_log(log, str(d))
+    lo, hi = log_ts_bounds(str(d))
+    for n_windows in (1, 3):
+        lake = str(tmp_path / f"lake{n_windows}")
+        cfg = _cfg(
+            window_us=(hi - lo) // n_windows + 1,
+            num_partitions=4,
+            distributed_salt_buckets=6,
+        )
+        run_ingest(str(d), lake, cfg)
+        got = _final_lake(lake)
+        want = oracle_apply(log)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

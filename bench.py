@@ -210,7 +210,12 @@ def _run_scaling() -> None:
     lo_cpus, hi_cpus = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # steady-state minimum needs more reps on this noisy shared host
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            OTR_BENCH_REPS=str(max(REPS, 4)),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env,

@@ -272,3 +272,25 @@ def test_distributed_salt_fold_matches_oracle(tmp_path):
         got = _final_lake(lake)
         want = oracle_apply(log)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "mode_kw",
+    [
+        dict(state_mode="delta", compact_threshold=2),
+        dict(distributed_salt_buckets=5),
+        dict(state_mode="delta", compact_threshold=2, distributed_salt_buckets=5),
+        dict(state_mode="delta", compact_threshold=2, salt_rows_threshold=100),
+    ],
+    ids=["delta", "dist-salt", "delta+dist-salt", "delta+chunked"],
+)
+def test_mode_matrix_matches_oracle(tmp_path, log_df, mode_kw):
+    """All layout/skew mode combinations must produce the oracle state."""
+    d = tmp_path / "ev"
+    write_event_log(log_df, str(d))
+    lake = str(tmp_path / "lake")
+    lo, hi = log_ts_bounds(str(d))
+    cfg = _cfg(window_us=(hi - lo) // 3 + 1, num_partitions=4, **mode_kw)
+    run_ingest(str(d), lake, cfg)
+    _assert_matches_oracle(lake, log_df)

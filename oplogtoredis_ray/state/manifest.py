@@ -120,8 +120,39 @@ def read_manifest(lake_root: str, partition_id: int) -> Manifest:
         raise ManifestReadError(f"unreadable manifest {path}: {e}") from e
 
 
-def commit_manifest(lake_root: str, manifest: Manifest) -> None:
-    _atomic_write_json(manifest_path(lake_root, manifest.partition_id), manifest.to_json())
+def commit_manifest(lake_root: str, manifest: Manifest) -> bool:
+    """Guarded monotonic commit — the HA arbiter (≙ the reference's atomic
+    Lua GET-before-SETEX, lib/redispub/publisher.go:41-62).
+
+    Competing consumers replay the same window sequence, so partition
+    lineages are always prefixes of one sequence; a commit may only move a
+    manifest FORWARD.  Under an exclusive per-partition file lock the
+    current manifest is re-read and the commit is skipped when the
+    incumbent already contains this commit's windows (a faster process won
+    the race) — an unconditional rename here could roll lineage backward
+    and make watermark dedup drop the rolled-back windows' events forever.
+    On shared object stores the same guard is a conditional put / ETag CAS.
+
+    Returns True if committed, False if superseded (the caller's state
+    file becomes garbage for GC).
+    """
+    import fcntl
+
+    path = manifest_path(lake_root, manifest.partition_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lock_path = os.path.join(
+        os.path.dirname(path), f".p-{manifest.partition_id:05d}.lock"
+    )
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            current = read_manifest(lake_root, manifest.partition_id)
+            if current.lineage and set(manifest.lineage) <= set(current.lineage):
+                return False  # incumbent is at or ahead of us
+            _atomic_write_json(path, manifest.to_json())
+            return True
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def read_all_manifests(lake_root: str) -> list[Manifest]:
@@ -155,7 +186,12 @@ def read_completed_windows(lake_root: str) -> list[dict]:
 
 
 def append_completed_window(lake_root: str, window_id: str, end_us: int, stats: dict) -> None:
+    """Best-effort append (lost updates between competing consumers are
+    harmless — a missing entry just replays that window idempotently);
+    duplicate entries from HA double-runs are skipped."""
     windows = read_completed_windows(lake_root)
+    if any(w["window_id"] == window_id for w in windows):
+        return
     windows.append({"window_id": window_id, "end_us": end_us, "stats": stats})
     _atomic_write_json(windows_path(lake_root), {"windows": windows})
 

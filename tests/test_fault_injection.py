@@ -28,6 +28,7 @@ ENV = dict(os.environ, PYTHONPATH="/root/repo")
 
 
 def _ingest_proc(log_dir, lake, extra=()):
+    # start_new_session → the whole Ray process tree dies with killpg
     return subprocess.Popen(
         [
             sys.executable,
@@ -49,7 +50,15 @@ def _ingest_proc(log_dir, lake, extra=()):
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
+        start_new_session=True,
     )
+
+
+def _killpg(p):
+    try:
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
 
 
 def _final(lake):
@@ -88,8 +97,12 @@ def test_concurrent_competing_consumers(fixture_log, tmp_path):
     lake = str(tmp_path / "halake")
     p1 = _ingest_proc(log_dir, lake)
     p2 = _ingest_proc(log_dir, lake)
-    out1, err1 = p1.communicate(timeout=240)
-    out2, err2 = p2.communicate(timeout=240)
+    try:
+        out1, err1 = p1.communicate(timeout=240)
+        out2, err2 = p2.communicate(timeout=240)
+    finally:
+        _killpg(p1)
+        _killpg(p2)
     assert p1.returncode == 0, err1[-2000:]
     assert p2.returncode == 0, err2[-2000:]
     got = _final(lake)
@@ -126,22 +139,31 @@ def test_sigkill_mid_ingest_then_resume(fixture_log, tmp_path):
             except (json.JSONDecodeError, KeyError):
                 done = 0
             if done >= 1 and p.poll() is None:
-                os.kill(p.pid, signal.SIGKILL)
+                _killpg(p)  # SIGKILL the whole Ray process tree
                 killed = True
                 break
         if p.poll() is not None:
             break  # finished before we could kill — still a valid resume test
         time.sleep(0.2)
-    p.communicate()
+    try:
+        p.communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+        _killpg(p)
+        p.communicate(timeout=60)
 
     # resume with the same window width
     p2 = _ingest_proc(log_dir, lake, extra=("--window-us", str(width)))
-    out2, err2 = p2.communicate(timeout=240)
+    try:
+        out2, err2 = p2.communicate(timeout=240)
+    finally:
+        _killpg(p2)
     assert p2.returncode == 0, err2[-2000:]
     got = _final(lake)
     want = oracle_apply(log)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     r2 = json.loads(out2.strip().splitlines()[-1])
     if killed:
-        # resumed run processed only the remaining windows (bounded replay)
-        assert r2["events_in"] < len(log) * 1.05
+        # resume skipped at least the committed first window: strictly fewer
+        # events than a from-scratch replay (bounded re-processing, ≙
+        # restart_test.go's 70-80 of 100)
+        assert r2["events_in"] < len(log)

@@ -285,12 +285,8 @@ def test_distributed_salt_fold_matches_oracle(tmp_path):
     ],
     ids=["delta", "dist-salt", "delta+dist-salt", "delta+chunked"],
 )
-def test_mode_matrix_matches_oracle(tmp_path, log_df, mode_kw):
+def test_mode_matrix_matches_oracle(log_dir, log_df, tmp_lake, mode_kw):
     """All layout/skew mode combinations must produce the oracle state."""
-    d = tmp_path / "ev"
-    write_event_log(log_df, str(d))
-    lake = str(tmp_path / "lake")
-    lo, hi = log_ts_bounds(str(d))
-    cfg = _cfg(window_us=(hi - lo) // 3 + 1, num_partitions=4, **mode_kw)
-    run_ingest(str(d), lake, cfg)
-    _assert_matches_oracle(lake, log_df)
+    cfg = _window_cfg(log_dir, 3, num_partitions=4, **mode_kw)
+    run_ingest(log_dir, tmp_lake, cfg)
+    _assert_matches_oracle(tmp_lake, log_df)

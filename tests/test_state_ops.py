@@ -126,3 +126,29 @@ def test_cli_end_to_end(small_log, tmp_path):
     dest = str(tmp_path / "cliexport")
     exp = run("export", "--lake", lake, "--dest", dest)
     assert exp["partitions"] == 4
+
+
+def test_commit_manifest_is_monotonic(tmp_path):
+    """HA arbiter: a commit may only move a partition manifest forward — a
+    straggling competing consumer's older commit is refused, never rolled
+    back over (≙ the reference's atomic GET-before-SETEX dedup)."""
+    from oplogtoredis_ray.state.manifest import Manifest, commit_manifest, read_manifest
+
+    lake = str(tmp_path / "lake")
+
+    def man(lineage, wm):
+        return Manifest(
+            partition_id=0, watermark=wm, state_file=f"lake/p=00000/s-{len(lineage)}.parquet",
+            rows=1, lineage=list(lineage),
+        )
+
+    assert commit_manifest(lake, man(["w1"], (1, 0, 0))) is True
+    assert commit_manifest(lake, man(["w1", "w2"], (2, 0, 0))) is True
+    # a slower process finishing w1 (or re-finishing w2) must NOT regress
+    assert commit_manifest(lake, man(["w1"], (1, 0, 0))) is False
+    assert commit_manifest(lake, man(["w1", "w2"], (2, 0, 0))) is False
+    cur = read_manifest(lake, 0)
+    assert cur.lineage == ["w1", "w2"] and cur.watermark == (2, 0, 0)
+    # moving forward still works
+    assert commit_manifest(lake, man(["w1", "w2", "w3"], (3, 0, 0))) is True
+    assert read_manifest(lake, 0).lineage == ["w1", "w2", "w3"]

@@ -44,6 +44,15 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--num-cpus", type=int, default=None)
     pi.add_argument("--max-windows", type=int, default=None)
 
+    pf = sub.add_parser("follow", help="continuously tail a growing log dir")
+    pf.add_argument("--log", required=True)
+    pf.add_argument("--lake", required=True)
+    pf.add_argument("--window-us", type=int, required=True)
+    pf.add_argument("--partitions", type=int, default=64)
+    pf.add_argument("--idle-rounds", type=int, default=3)
+    pf.add_argument("--poll-seconds", type=float, default=1.0)
+    pf.add_argument("--num-cpus", type=int, default=None)
+
     ps = sub.add_parser("status", help="lake status from manifests")
     ps.add_argument("--lake", required=True)
 
@@ -95,6 +104,29 @@ def main(argv: list[str] | None = None) -> int:
                     "patches": res.patches,
                     "patch_misses": res.patch_misses,
                 }
+            )
+        )
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "follow":
+        import ray
+
+        from oplogtoredis_ray.config import PipelineConfig
+        from oplogtoredis_ray.pipelines.ingest import run_follow
+
+        _init_ray(args.num_cpus)
+        cfg = PipelineConfig(num_partitions=args.partitions, window_us=args.window_us)
+        res = run_follow(
+            args.log,
+            args.lake,
+            cfg,
+            idle_rounds_to_stop=args.idle_rounds,
+            poll_sleep_s=args.poll_seconds,
+        )
+        print(
+            json.dumps(
+                {"windows_run": res.windows_run, "events_in": res.events_in}
             )
         )
         ray.shutdown()

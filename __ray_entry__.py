@@ -7,9 +7,11 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
   transcript log derived from sf0.001, returning the final lake Dataset.
 - ``queries()`` — one callable per implemented operator/pipeline from
   SURVEY.md §2 (plus the training-data ops); each takes ``sf_dir``.
-- ``oracle_sql()`` — equivalent DuckDB SQL for each SQL-expressible query
-  (minhash/simhash clustering are rows-only by nature and are validated in
-  pytest on planted near-duplicates instead).
+- ``oracle_sql()`` — equivalent DuckDB SQL for every query.  The sketch
+  pipelines (minhash/simhash/ivf) export their deterministic intermediates
+  (signatures, IVF index) as parquet; their oracle SQL replays the full
+  downstream derivation (candidate pairs, Jaccard verification, connected
+  components, probe-set search) from those identical values.
 """
 
 from __future__ import annotations
@@ -35,7 +37,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from oplogtoredis_ray.pipelines.queries import ensure_synth_log, oracle_sql_map
+    from oplogtoredis_ray.pipelines.queries import (
+        ensure_oracle_intermediates,
+        ensure_synth_log,
+        oracle_sql_map,
+    )
 
     ensure_synth_log("/root/testdata/sf0.01")
+    # the sketch oracles read parquet intermediates exported by their Ray
+    # queries; produce them up front in case oracles are evaluated first
+    # (no-op if Ray isn't initialised — the driver inits Ray before calling)
+    ensure_oracle_intermediates("/root/testdata/sf0.01")
     return oracle_sql_map("sf0.01")

@@ -9,14 +9,26 @@
   Union-find runs on the driver over the *candidate pair list only* — that
   set is sized by true near-dup density, not the corpus (documented
   assumption; at 100 TB the pair list is the thing that must fit, and band
-  thresholds keep it sparse).
+  thresholds keep it sparse).  The final cluster assignment broadcasts the
+  (small) resolved parent map via ``ray.put`` and labels doc ids in a
+  vectorized ``map_batches`` stage — the corpus itself never reaches the
+  driver.
 - SimHash: 64-bit signed-projection sketch; near-dups share bucket prefixes
   within small Hamming distance.
+
+With ``materialize_dir`` set, the deterministic intermediates (minhash band
+buckets, per-doc shingle-hash sets, simhash signatures) are exported as
+parquet so the downstream pair/cluster derivation can be verified by an
+external SQL engine (the driver's DuckDB oracle) — and so other pipelines
+can reuse the fingerprints without recomputing them.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -26,6 +38,16 @@ import pyarrow.compute as pc
 from oplogtoredis_ray.functions.fingerprint import normalize_text, shingle_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+logger = logging.getLogger(__name__)
+
+
+def _rewrite_parquet(ds, path: str) -> None:
+    """Replace-write a Dataset to a parquet dir (no stale files linger)."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
 
 
 class ContentHash:
@@ -122,13 +144,86 @@ class MinHashStage:
         )
 
 
+_EMPTY_PAIRS = pd.DataFrame(
+    {"a_id": pd.array([], dtype="int64"), "b_id": pd.array([], dtype="int64")}
+)
+
+
 def _candidate_pairs_from_bucket(group: pd.DataFrame, id_col: str, cap: int = 50) -> pd.DataFrame:
+    """Upper-triangle candidate pairs of one LSH bucket, capped at ``cap``
+    ids.  A bucket this hot is a degenerate band; truncation is surfaced as
+    a sentinel row ``(a_id=-1, b_id=<n_dropped>)`` so the driver can count
+    and log lost recall instead of dropping it silently (doc ids are >= 0)."""
     ids = np.sort(group[id_col].unique())
     if len(ids) < 2:
-        return pd.DataFrame({"a_id": [], "b_id": []})
-    ids = ids[:cap]  # a bucket this hot is a degenerate band — cap + log
+        return _EMPTY_PAIRS
+    dropped = max(len(ids) - cap, 0)
+    ids = ids[:cap]
     a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
+    out = pd.DataFrame(
+        {"a_id": ids[a].astype("int64"), "b_id": ids[b].astype("int64")}
+    )
+    if dropped:
+        out = pd.concat(
+            [out, pd.DataFrame({"a_id": [-1], "b_id": [dropped]})], ignore_index=True
+        )
+    return out
+
+
+class ShingleExport:
+    """Batch stage: explode each doc into (doc_id, shingle_hash) rows — the
+    deterministic per-doc shingle-hash sets used for exact Jaccard
+    verification (exported so an external SQL oracle can replay the
+    verification arithmetic on identical hash values)."""
+
+    def __init__(self, shingle_k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_h = [], []
+        for i, t in enumerate(texts):
+            hs = shingle_hashes(t, self.k)
+            out_id.append(np.full(len(hs), ids[i], dtype=np.int64))
+            out_h.append(hs)
+        return pa.table(
+            {
+                self.id_col: pa.array(
+                    np.concatenate(out_id) if out_id else np.array([], dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "h": pa.array(
+                    np.concatenate(out_h) if out_h else np.array([], dtype=np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+
+class AssignCluster:
+    """Batch stage: label each doc id with its component root from the
+    broadcast (small, near-dup-density-sized) resolved union-find map.
+    Docs absent from the map are singletons (cluster_id = doc_id)."""
+
+    def __init__(self, roots_ref, id_col: str = "doc_id"):
+        import ray
+
+        self.roots = ray.get(roots_ref) if not isinstance(roots_ref, dict) else roots_ref
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(ids)
+        cluster = s.map(self.roots).fillna(s).astype("int64").to_numpy()
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cluster, type=pa.int64()),
+            }
+        )
 
 
 def minhash_lsh_dedup(
@@ -139,10 +234,15 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> pd.DataFrame:
-    """Near-dup clusters: returns (doc_id, cluster_id[min id in component]).
+    materialize_dir: str | None = None,
+):
+    """Near-dup clusters: returns a Dataset of (doc_id, cluster_id[min id in
+    component]).  Docs with no near-dup form singleton clusters
+    (cluster_id = doc_id).
 
-    Docs with no near-dup form singleton clusters (cluster_id = doc_id).
+    ``materialize_dir`` exports the deterministic intermediates
+    (``minhash_sigs``: band buckets; ``minhash_shingles``: per-doc shingle
+    hash sets) as parquet for external verification / reuse.
     """
     import ray
 
@@ -150,14 +250,34 @@ def minhash_lsh_dedup(
         MinHashStage(num_perm, bands, shingle_k, text_col, id_col),
         batch_format="pyarrow",
     )
+    if materialize_dir:
+        _rewrite_parquet(sig_rows, os.path.join(materialize_dir, "minhash_sigs"))
+        _rewrite_parquet(
+            ds.map_batches(
+                ShingleExport(shingle_k, text_col, id_col), batch_format="pyarrow"
+            ),
+            os.path.join(materialize_dir, "minhash_shingles"),
+        )
     pairs = (
         sig_rows.groupby(["band_id", "band_bucket"])
         .map_groups(
             lambda g: _candidate_pairs_from_bucket(g, id_col), batch_format="pandas"
         )
         .to_pandas()
-        .drop_duplicates()
     )
+    # surface truncated hot buckets (sentinel rows a_id == -1) before dedup
+    if len(pairs):
+        sentinels = pairs["a_id"] == -1
+        n_dropped = int(pairs.loc[sentinels, "b_id"].sum())
+        if n_dropped:
+            logger.warning(
+                "minhash_lsh_dedup: %d hot LSH bucket(s) truncated, %d doc ids "
+                "dropped from candidate generation (lost recall)",
+                int(sentinels.sum()),
+                n_dropped,
+            )
+        pairs = pairs[~sentinels]
+    pairs = pairs.drop_duplicates()
 
     # exact verification on the candidate pairs only: fetch candidate docs
     # with a DISTRIBUTED filter (broadcast id set) — the driver receives
@@ -200,9 +320,17 @@ def minhash_lsh_dedup(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    ids_ds = ds.select_columns([id_col]).to_pandas()
-    cluster = ids_ds[id_col].map(lambda i: find(int(i))).astype("int64")
-    return pd.DataFrame({id_col: ids_ds[id_col], "cluster_id": cluster})
+    # distributed assignment: broadcast the fully-resolved root map (sized by
+    # near-dup density, not the corpus) and label ids in a vectorized stage —
+    # the corpus never materializes on the driver
+    roots = {x: find(x) for x in parent}
+    roots_ref = ray.put(roots)
+    return ds.select_columns([id_col]).map_batches(
+        AssignCluster,
+        fn_constructor_args=(roots_ref, id_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -239,18 +367,45 @@ class SimHashStage:
         )
 
 
-def simhash_dedup(ds, hamming_max: int = 3, text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
-    """Near-dup pairs within shared prefix buckets at Hamming ≤ max."""
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via byte-table lookup (no per-row Python)."""
+    bytes_view = x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64)
+
+
+_EMPTY_HAMMING = pd.DataFrame(
+    {
+        "a_id": pd.array([], dtype="int64"),
+        "b_id": pd.array([], dtype="int64"),
+        "hamming": pd.array([], dtype="int64"),
+    }
+)
+
+
+def simhash_dedup(
+    ds,
+    hamming_max: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize_dir: str | None = None,
+) -> pd.DataFrame:
+    """Near-dup pairs within shared prefix buckets at Hamming ≤ max.
+
+    Pairs are canonical (``a_id < b_id``).  ``materialize_dir`` exports the
+    (doc_id, simhash, bucket) signature table as parquet for external
+    verification / reuse."""
     sigs = ds.map_batches(SimHashStage(text_col, id_col), batch_format="pyarrow")
+    if materialize_dir:
+        _rewrite_parquet(sigs, os.path.join(materialize_dir, "simhash_sigs"))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []})
-        ids = g[id_col].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            return _EMPTY_HAMMING
+        order = np.argsort(g[id_col].to_numpy())  # canonical a_id < b_id
+        ids = g[id_col].to_numpy()[order].astype(np.int64)
+        h = g["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
         a, b = np.triu_indices(len(ids), k=1)
-        x = h[a] ^ h[b]
-        dist = np.array([bin(v).count("1") for v in x])
+        dist = _popcount64(h[a] ^ h[b])
         keep = dist <= hamming_max
         return pd.DataFrame(
             {"a_id": ids[a][keep], "b_id": ids[b][keep], "hamming": dist[keep]}

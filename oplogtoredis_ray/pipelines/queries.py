@@ -33,6 +33,9 @@ SHARDS = 8
 # --- synthetic transcript log management -------------------------------------
 
 SYNTH_ROOT = "/tmp/otr_synth"
+ORACLE_ROOT = "/tmp/otr_oracle"  # deterministic pipeline intermediates (sketch
+# signatures, IVF index) exported as parquet so the driver's DuckDB oracle can
+# replay the non-SQL-expressible sketch computations' downstream derivations
 _SF_EVENTS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 48_000_000}
 _SHARDED_MIN = 1_000_000  # above this, generate with parallel Ray shards
 
@@ -104,6 +107,24 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
     return rd.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
     )
+
+
+def _oracle_dir(sf_dir: str) -> str:
+    return os.path.join(ORACLE_ROOT, _sf_name(sf_dir))
+
+
+def ensure_oracle_intermediates(sf_dir: str) -> None:
+    """Run the sketch pipelines that export deterministic intermediates
+    (minhash/simhash signatures, IVF index) so the oracle SQL can read them
+    even if the driver evaluates oracles before the matching queries.
+    No-op unless Ray is already initialised (the library never inits Ray)."""
+    import ray
+
+    if not ray.is_initialized():
+        return
+    q_minhash_dedup(sf_dir).materialize()
+    q_simhash_pairs(sf_dir)
+    q_ivf_topk(sf_dir)
 
 
 # --- query implementations ---------------------------------------------------
@@ -446,8 +467,10 @@ def q_neardup_embeddings(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF approximate top-k (the ANN scale path; recall < 1 by design, so
-    rows-only — pytest validates recall against the brute-force baseline)."""
+    """IVF approximate top-k (the ANN scale path).  The trained index
+    (centroids + coarse assignments) is exported as parquet, so the oracle
+    SQL replays the exact probe-set search over the same index — the
+    approximation itself becomes hash-verifiable."""
     import pyarrow.parquet as pq
 
     from oplogtoredis_ray.pipelines.similarity import ivf_topk
@@ -461,15 +484,48 @@ def q_ivf_topk(sf_dir: str):
         for i, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist())
     }
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, queries, k=10, nlist=16, nprobe=4)
+    return ivf_topk(
+        ds, queries, k=10, nlist=16, nprobe=4, materialize_dir=_oracle_dir(sf_dir)
+    )
+
+
+class _JaccardFilter:
+    """Batch stage: keep (a_id, b_id) pairs whose gram-intersection count
+    clears the integer Jaccard threshold, using the broadcast per-doc gram
+    sizes (sized by the pruned candidate subset, not the corpus)."""
+
+    def __init__(self, sizes_ref, pct: int):
+        import ray
+
+        self.sizes = ray.get(sizes_ref) if not isinstance(sizes_ref, dict) else sizes_ref
+        self.pct = pct
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = pd.Series(a).map(self.sizes).to_numpy(dtype=np.int64)
+        nb = pd.Series(b).map(self.sizes).to_numpy(dtype=np.int64)
+        keep = inter * 100 >= self.pct * (na + nb - inter)
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep], type=pa.int64()),
+                "b_id": pa.array(b[keep], type=pa.int64()),
+            }
+        )
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Exact word-bigram Jaccard pairs (≥5%) on a filtered subset: the
-    distributed stage computes each doc's distinct bigram set; the driver
-    compares only the subset's pairs (at scale MinHash-LSH prunes candidates
-    first and this exact measure is the verifier).  Integer threshold
-    arithmetic keeps the SQL oracle bit-exact."""
+    """Exact word-bigram Jaccard pairs (≥5%) on a filtered subset, as a
+    DISTRIBUTED gram-bucket join (mirrors the oracle SQL): explode distinct
+    (doc_id, gram) rows → per-gram upper-triangle pairs → pair-count
+    aggregation → threshold filter with broadcast gram sizes.  The driver
+    only ever sees the final pair list (at scale MinHash-LSH prunes
+    candidates first and this exact measure is the verifier).  Integer
+    threshold arithmetic keeps the SQL oracle bit-exact."""
+    import ray
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def subset(t: pa.Table) -> pa.Table:
@@ -481,46 +537,70 @@ def q_ngram_jaccard(sf_dir: str):
     def grams(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
-        out = []
-        for txt in texts:
+        out_id, out_g = [], []
+        for i, txt in zip(ids, texts):
             words = txt.strip().lower().split()
-            out.append(sorted({f"{a} {b}" for a, b in zip(words, words[1:])}))
+            gs = {f"{a} {b}" for a, b in zip(words, words[1:])}
+            out_id.extend([i] * len(gs))
+            out_g.extend(gs)
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "grams": pa.array(out, type=pa.list_(pa.string())),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "gram": pa.array(out_g, type=pa.string()),
             }
         )
 
-    rows = ds.map_batches(grams, batch_format="pyarrow").to_pandas()
-    sets = {int(r.doc_id): set(r.grams) for r in rows.itertuples(index=False)}
-    ids = sorted(sets)
-    a_out, b_out = [], []
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            inter = len(sets[a] & sets[b])
-            union = len(sets[a]) + len(sets[b]) - inter
-            if union and inter * 100 >= 5 * union:
-                a_out.append(a)
-                b_out.append(b)
-    return pd.DataFrame({"a_id": pd.array(a_out, dtype="int64"), "b_id": pd.array(b_out, dtype="int64")})
+    gram_rows = ds.map_batches(grams, batch_format="pyarrow")
+    # per-doc distinct gram counts: small (candidate subset), broadcast once
+    sizes_pd = (
+        gram_rows.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    sizes_ref = ray.put(
+        dict(zip(sizes_pd["doc_id"].astype(int), sizes_pd["n"].astype(int)))
+    )
+
+    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique()).astype(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a_id": pd.array([], dtype="int64"), "b_id": pd.array([], dtype="int64")}
+            )
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
+
+    pair_counts = (
+        gram_rows.groupby("gram")
+        .map_groups(pairs_in_gram, batch_format="pandas")
+        .groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="inter"))
+    )
+    return pair_counts.map_batches(
+        _JaccardFilter,
+        fn_constructor_args=(sizes_ref, 5),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup clustering (rows-only check: random corpora have
-    no near-dups, so clusters are validated by pytest on planted dups)."""
+    """MinHash+LSH near-dup clustering.  The band-bucket signature rows and
+    per-doc shingle-hash sets are exported as parquet, so the oracle SQL
+    replays candidate generation, exact-Jaccard verification and connected
+    components over identical hash values — hash-verifiable end to end."""
     from oplogtoredis_ray.pipelines.dedup import minhash_lsh_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_dedup(ds)
+    return minhash_lsh_dedup(ds, materialize_dir=_oracle_dir(sf_dir))
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash bucketing near-dup pairs (rows-only check)."""
+    """SimHash bucketing near-dup pairs.  Signatures are exported as
+    parquet, so the oracle SQL replays the bucket join + Hamming filter
+    (DuckDB ``bit_count(xor(...))``) over identical signatures."""
     from oplogtoredis_ray.pipelines.dedup import simhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup(ds)
+    return simhash_dedup(ds, materialize_dir=_oracle_dir(sf_dir))
 
 
 def q_change_records(sf_dir: str):
@@ -720,9 +800,24 @@ def q_top_spenders(sf_dir: str):
     agg = ds.map_batches(cents, batch_format="pyarrow").groupby("user_id").aggregate(
         Sum("spend_cents", alias_name="spend_cents")
     )
-    top = agg.to_pandas().sort_values(
-        ["spend_cents", "user_id"], ascending=[False, True], kind="mergesort"
-    ).head(10)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        # per-block partial top-k: the driver merges only blocks × 10 rows,
+        # never the full per-user aggregate
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("spend_cents", "descending"), ("user_id", "ascending")],
+        )
+        return t.take(idx[:10])
+
+    top = (
+        agg.map_batches(local_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(
+            ["spend_cents", "user_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(10)
+    )
     top["spend_cents"] = top["spend_cents"].astype("int64")
     return top.reset_index(drop=True)
 
@@ -868,6 +963,7 @@ def _bpe_sql_pattern() -> str:
 
 def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
     synth = _synth_glob_sql(sf_name)
+    od = os.path.join(ORACLE_ROOT, sf_name)
     cf_fields = (
         "TRIM(TRAILING ',' FROM "
         "(CASE WHEN op IN ('i','u') AND role IS NOT NULL THEN 'role,' ELSE '' END ||"
@@ -1071,6 +1167,88 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.a_id
             JOIN sizes sb ON sb.doc_id = p.b_id
             WHERE p.inter * 100 >= 5 * (sa.n + sb.n - p.inter)
+        """,
+        # sketch pipelines: the Ray queries export their deterministic
+        # intermediates (signatures / IVF index) as parquet under {od}; the
+        # SQL replays every downstream derivation from those identical values
+        "minhash_dedup": f"""
+            WITH RECURSIVE
+            sig AS (SELECT DISTINCT band_id, band_bucket, doc_id
+                    FROM read_parquet('{od}/minhash_sigs/*.parquet')),
+            ranked AS (
+              SELECT band_id, band_bucket, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY band_id, band_bucket
+                                        ORDER BY doc_id) AS rn
+              FROM sig),
+            capped AS (SELECT * FROM ranked WHERE rn <= 50),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM capped a JOIN capped b
+                ON a.band_id = b.band_id AND a.band_bucket = b.band_bucket
+               AND a.doc_id < b.doc_id),
+            sh AS (SELECT DISTINCT doc_id, h
+                   FROM read_parquet('{od}/minhash_shingles/*.parquet')),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT p.a_id, p.b_id, COUNT(*) AS i
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.a_id
+              JOIN sh b ON b.doc_id = p.b_id AND b.h = a.h
+              GROUP BY 1, 2),
+            verified AS (
+              SELECT i.a_id, i.b_id
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE i.i * 10 >= 8 * (sa.n + sb.n - i.i)),
+            edges AS (SELECT a_id AS s, b_id AS d FROM verified
+                      UNION ALL
+                      SELECT b_id, a_id FROM verified),
+            walk(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id)
+            SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY id
+        """,
+        "simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, simhash, bucket
+                       FROM read_parquet('{od}/simhash_sigs/*.parquet'))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "ivf_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 4),
+            cent AS (SELECT cluster, centroid
+                     FROM read_parquet('{od}/ivf_centroids/*.parquet')),
+            probe AS (
+              SELECT query_id, cluster FROM (
+                SELECT q.query_id, c.cluster,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(CAST(c.centroid AS DOUBLE[]),
+                                                         CAST(q.qe AS DOUBLE[])) DESC,
+                                  c.cluster) AS rn
+                FROM q, cent c)
+              WHERE rn <= 4),
+            asn AS (SELECT vec_id, cluster
+                    FROM read_parquet('{od}/ivf_assign/*.parquet')),
+            cand AS (SELECT p.query_id, a.vec_id
+                     FROM probe p JOIN asn a ON a.cluster = p.cluster)
+            SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM (
+              SELECT c.query_id, e.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.qe AS DOUBLE[])) DESC,
+                                e.vec_id) AS rnk
+              FROM cand c
+              JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id)
+            WHERE rnk <= 10
         """,
         "neardup_embeddings": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id

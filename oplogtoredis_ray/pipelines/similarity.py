@@ -199,6 +199,29 @@ class IVFTopK:
         )
 
 
+class IVFAssign:
+    """Batch stage: coarse-quantize each row against the broadcast centroids
+    — the deterministic (vec_id, cluster) assignment table, exportable so an
+    external SQL oracle can replay the probe-set search exactly."""
+
+    def __init__(self, cent_ref, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        self.C = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _normalize(_matrix_from_list_column(batch[self.vec_col]))
+        assign = np.argmax(E @ self.C.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "cluster": pa.array(assign, type=pa.int64()),
+            }
+        )
+
+
 def ivf_topk(
     ds,
     queries: dict[int, np.ndarray],
@@ -210,15 +233,52 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int | None = None,
+    materialize_dir: str | None = None,
 ) -> pd.DataFrame:
     """IVF approximate top-k: train coarse centroids on a sample, broadcast
     (centroids + queries + probe lists) once, scan with cluster pruning,
-    merge local top-k on the driver.  Deterministic for a fixed seed."""
+    merge local top-k on the driver.  Deterministic for a fixed seed.
+
+    ``materialize_dir`` exports the index itself — ``ivf_centroids``
+    (cluster, centroid) and ``ivf_assign`` (vec_id, cluster) — as parquet so
+    the probe-set search is externally verifiable and the index reusable."""
     import ray
 
     sample = ds.limit(train_sample).to_pandas()
     M = np.stack(sample[vec_col].to_numpy())
     C = kmeans_centroids(M, nlist, seed=seed)
+    if materialize_dir:
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        cent_dir = os.path.join(materialize_dir, "ivf_centroids")
+        if os.path.isdir(cent_dir):
+            shutil.rmtree(cent_dir)
+        os.makedirs(cent_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(C)), type=pa.int64()),
+                    "centroid": pa.array(
+                        [row.tolist() for row in C], type=pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            os.path.join(cent_dir, "centroids.parquet"),
+        )
+        assign_dir = os.path.join(materialize_dir, "ivf_assign")
+        if os.path.isdir(assign_dir):
+            shutil.rmtree(assign_dir)
+        os.makedirs(assign_dir, exist_ok=True)
+        cent_ref = ray.put(C)
+        ds.map_batches(
+            IVFAssign,
+            fn_constructor_args=(cent_ref, id_col, vec_col),
+            batch_format="pyarrow",
+            concurrency=2,
+        ).write_parquet(assign_dir)
     query_ids = np.array(sorted(queries.keys()))
     Q = _normalize(np.stack([queries[i] for i in query_ids]).astype(np.float64))
     qsims = Q @ C.T

@@ -70,10 +70,9 @@ def test_every_oracle_key_has_query(contract):
     q = contract.queries()
     o = contract.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only queries are the explicitly non-SQL-expressible ones
-    # (near-dup clustering and approximate ANN — validated in pytest on
-    # planted duplicates / recall-vs-brute instead)
-    assert set(q) - set(o) == {"minhash_dedup", "simhash_pairs", "ivf_topk"}
+    # every query has an oracle: the sketch pipelines export deterministic
+    # intermediates (signatures / IVF index) that their SQL replays
+    assert set(q) - set(o) == set()
 
 
 SQL_CHECKED = None  # filled at collection below

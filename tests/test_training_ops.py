@@ -60,7 +60,7 @@ class TestDedup:
         df = _docs_with_near_dups()
         out = minhash_lsh_dedup(
             rd.from_pandas(df), shingle_k=3, jaccard_threshold=0.7
-        )
+        ).to_pandas()  # returns a Dataset: assignment is distributed
         cl = dict(zip(out["doc_id"], out["cluster_id"]))
         # exact copies cluster together
         assert cl[5] == cl[42] == cl[43]

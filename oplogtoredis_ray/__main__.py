@@ -6,6 +6,7 @@ CLI, bench.py and the test fixture.
     python -m oplogtoredis_ray ingest  --log DIR --lake DIR [--window-us N]
                                        [--partitions P] [--deny conv ...]
     python -m oplogtoredis_ray status  --lake DIR
+    python -m oplogtoredis_ray denylist add|remove|list --lake DIR [id ...]
     python -m oplogtoredis_ray gc      --lake DIR [--dry-run]
     python -m oplogtoredis_ray export  --lake DIR --dest DIR [--dest DIR ...]
     python -m oplogtoredis_ray generate --out DIR --events N [--seed S]
@@ -39,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--log", required=True)
     pi.add_argument("--lake", required=True)
     pi.add_argument("--window-us", type=int, default=None)
-    pi.add_argument("--partitions", type=int, default=64)
+    pi.add_argument("--partitions", type=int, default=None)
     pi.add_argument("--deny", action="append", default=[])
     pi.add_argument("--num-cpus", type=int, default=None)
     pi.add_argument("--max-windows", type=int, default=None)
@@ -48,13 +49,21 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--log", required=True)
     pf.add_argument("--lake", required=True)
     pf.add_argument("--window-us", type=int, required=True)
-    pf.add_argument("--partitions", type=int, default=64)
+    pf.add_argument("--partitions", type=int, default=None)
     pf.add_argument("--idle-rounds", type=int, default=3)
     pf.add_argument("--poll-seconds", type=float, default=1.0)
     pf.add_argument("--num-cpus", type=int, default=None)
 
     ps = sub.add_parser("status", help="lake status from manifests")
     ps.add_argument("--lake", required=True)
+
+    pd_ = sub.add_parser(
+        "denylist",
+        help="runtime-mutable denylist CRUD (reloaded at every window boundary)",
+    )
+    pd_.add_argument("action", choices=["add", "remove", "list"])
+    pd_.add_argument("entries", nargs="*")
+    pd_.add_argument("--lake", required=True)
 
     pg = sub.add_parser("gc", help="remove superseded state files")
     pg.add_argument("--lake", required=True)
@@ -86,11 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         if window is None:
             lo, hi = log_ts_bounds(args.log)
             window = (hi - lo) // 4 + 1
-        cfg = PipelineConfig(
-            num_partitions=args.partitions,
-            window_us=window,
-            denylist=frozenset(args.deny),
-        )
+        kwargs = {"window_us": window, "denylist": frozenset(args.deny)}
+        if args.partitions is not None:  # unset → dataclass default (one
+            kwargs["num_partitions"] = args.partitions  # source of truth)
+        cfg = PipelineConfig(**kwargs)
         res = run_ingest(args.log, args.lake, cfg, max_windows=args.max_windows)
         print(
             json.dumps(
@@ -116,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
         from oplogtoredis_ray.pipelines.ingest import run_follow
 
         _init_ray(args.num_cpus)
-        cfg = PipelineConfig(num_partitions=args.partitions, window_us=args.window_us)
+        kwargs = {"window_us": args.window_us}
+        if args.partitions is not None:
+            kwargs["num_partitions"] = args.partitions
+        cfg = PipelineConfig(**kwargs)
         res = run_follow(
             args.log,
             args.lake,
@@ -133,13 +144,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "status":
+        from oplogtoredis_ray.state.denylist import load_denylist
         from oplogtoredis_ray.state.manifest import (
             read_all_manifests,
             read_completed_windows,
         )
+        from oplogtoredis_ray.state.metrics import read_metrics
 
         manifests = read_all_manifests(args.lake)
         windows = read_completed_windows(args.lake)
+        last = read_metrics(args.lake)
         print(
             json.dumps(
                 {
@@ -151,9 +165,45 @@ def main(argv: list[str] | None = None) -> int:
                     "min_watermark": min(
                         (list(m.watermark) for m in manifests), default=None
                     ),
+                    "denylist_size": len(load_denylist(args.lake)),
+                    "last_run": (
+                        {
+                            k: last[k]
+                            for k in (
+                                "at_unix",
+                                "wall_s",
+                                "windows_run",
+                                "events",
+                                "deadletter_rows",
+                                "watermark_lag_us",
+                                "resume_gap_us",
+                            )
+                        }
+                        if last
+                        else None
+                    ),
                 }
             )
         )
+        return 0
+
+    if args.cmd == "denylist":
+        from oplogtoredis_ray.state.denylist import DenylistStore
+
+        store = DenylistStore(args.lake)
+        if args.action == "list":
+            print(json.dumps({"denylist": store.entries()}))
+        elif args.action == "add":
+            added = [e for e in args.entries if store.add(e)]
+            print(json.dumps({"added": added, "denylist": store.entries()}))
+        else:
+            removed = [e for e in args.entries if store.remove(e)]
+            missing = [e for e in args.entries if e not in removed]
+            print(
+                json.dumps(
+                    {"removed": removed, "missing": missing, "denylist": store.entries()}
+                )
+            )
         return 0
 
     if args.cmd == "gc":

@@ -204,6 +204,7 @@ def run_follow(
     max_rounds: int = 1_000_000,
     idle_rounds_to_stop: int = 1,
     poll_sleep_s: float = 0.0,
+    on_window=None,
 ) -> IngestResult:
     """Continuous tail mode (≙ the reference's endless tail loop,
     /root/reference/lib/oplog/tail.go:151-207): repeatedly re-scan the log
@@ -222,7 +223,7 @@ def run_follow(
     rounds = 0
     while rounds < max_rounds and idle < idle_rounds_to_stop:
         rounds += 1
-        res = run_ingest(log_dir, lake_root, cfg)
+        res = run_ingest(log_dir, lake_root, cfg, on_window=on_window)
         if res.windows_run == 0:
             idle += 1
             if poll_sleep_s:
@@ -246,13 +247,30 @@ def run_ingest(
     lake_root: str,
     cfg: PipelineConfig | None = None,
     max_windows: int | None = None,
+    on_window=None,
 ) -> IngestResult:
-    """Resume-from-checkpoint windowed replay of the whole event log."""
+    """Resume-from-checkpoint windowed replay of the whole event log.
+
+    ``on_window`` (optional callable, receives each window's aggregate stats
+    dict after its commit) is the observability/control hook between
+    windows — the point where runtime denylist mutations and external
+    monitors naturally attach."""
+    import time as _time
+
+    t0 = _time.monotonic()
     cfg = cfg or PipelineConfig()
     lo, hi = log_ts_bounds(log_dir)
+    # the partition layout is pinned in the lake on first ingest; any later
+    # run whose config would remap conv_id→partition fails fast instead of
+    # folding against the wrong prior state
+    from oplogtoredis_ray.state.lake_config import write_or_check_lake_config
+
+    write_or_check_lake_config(lake_root, cfg)
     # fail-closed resume (≙ getStartTime reading ALL ordinals, tail.go:514-588):
     # any present-but-unreadable checkpoint aborts instead of silently skipping
+    from oplogtoredis_ray.state.denylist import load_denylist
     from oplogtoredis_ray.state.manifest import read_all_manifests
+    from oplogtoredis_ray.state.metrics import write_run_metrics
 
     read_all_manifests(lake_root)  # raises ManifestReadError on corruption
     resume = resume_watermark(lake_root)
@@ -275,7 +293,16 @@ def run_ingest(
             start = end
             result.windows_skipped += 1
             continue
-        stats = run_window(log_dir, lake_root, cfg, start, end)
+        # reload the durable denylist at every window boundary so runtime
+        # mutations (CLI `denylist add/remove`) take effect mid-session
+        # (≙ the reference's runtime toggle, denylist_oplog_test.go:12-75)
+        durable_deny = load_denylist(lake_root)
+        wcfg = (
+            cfg.with_denylist(set(cfg.denylist) | durable_deny)
+            if durable_deny
+            else cfg
+        )
+        stats = run_window(log_dir, lake_root, wcfg, start, end)
         agg = {
             "window_id": wid,
             "start_us": start,
@@ -299,5 +326,8 @@ def run_ingest(
         result.patches += agg["patches"]
         result.patch_misses += agg["patch_misses"]
         result.window_stats.append(agg)
+        if on_window is not None:
+            on_window(agg)
         start = end
+    write_run_metrics(lake_root, result, hi, wall_s=_time.monotonic() - t0)
     return result

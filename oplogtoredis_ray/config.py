@@ -74,6 +74,19 @@ class PipelineConfig:
     # chunked fold (salt_rows_threshold) covers single-node skew; this
     # distributes it.  0 = off.
     distributed_salt_buckets: int = 0
+    # failure policy (≙ the reference's 30×1s retry-then-permanent-drop,
+    # lib/redispub/publisher.go:228-253, and restart-streak escalation,
+    # lib/oplog/tail.go:151-207):
+    # - task_max_retries: transient task failures (worker death AND, with
+    #   retry_exceptions=True, application exceptions) are retried up to
+    #   this many times before the block is declared permanently failed.
+    # - max_errored_blocks: after retries are exhausted, 0 (default) fails
+    #   the window — fail-closed, nothing silently lost; N>0 tolerates up
+    #   to N permanently-failed blocks per window (the reference's counted
+    #   permanent-failure drop); negative = unlimited.
+    task_max_retries: int = 4
+    retry_exceptions: bool = True
+    max_errored_blocks: int = 0
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

@@ -128,6 +128,14 @@ def run_window(
         import ray
 
         blocks = 2 * int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 16
+    # permanent-failure cutoff: Ray snapshots the DataContext when the
+    # Dataset is CREATED, so the errored-block budget must be set before the
+    # read is declared (restored after execution below)
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    prev_errored = ctx.max_errored_blocks
+    ctx.max_errored_blocks = cfg.max_errored_blocks
     ds = read_event_window(log_dir, start_us, end_us, override_num_blocks=blocks)
     deadletter = f"{lake_root}/errors" if cfg.errors_to_deadletter else None
     # stateless tasks: with the vectorized poly64 partition hash the stage
@@ -136,10 +144,18 @@ def run_window(
     parse_kwargs: dict = {}
     if cfg.parse_concurrency is not None:
         parse_kwargs["concurrency"] = cfg.parse_concurrency
+    # explicit retry budget (≙ publisher.go:228-253): transient failures
+    # retried in place; the permanent-failure cutoff is enforced by
+    # max_errored_blocks at execution time below
+    retry_args = {
+        "max_retries": cfg.task_max_retries,
+        "retry_exceptions": cfg.retry_exceptions,
+    }
     ds = ds.map_batches(
         ParseStage(cfg, deadletter, emit_changed_fields=False),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
+        **retry_args,
         **parse_kwargs,
     )
     if cfg.distributed_salt_buckets > 1:
@@ -180,18 +196,23 @@ def run_window(
 
         ds = ds.map_batches(add_salt, batch_format="pyarrow")
         pseudo_ds = ds.groupby(["partition_id", "salt"]).map_groups(
-            prefold, batch_format="pyarrow"
+            prefold, batch_format="pyarrow", **retry_args
         )
         apply_fn = make_apply_fn(lake_root, wid, cfg)
+        # retried applies are safe: the manifest commit is monotonic/guarded,
+        # so a replayed task that lost the race skips instead of double-applying
         stats_ds = pseudo_ds.groupby("partition_id").map_groups(
-            apply_fn, batch_format="pyarrow"
+            apply_fn, batch_format="pyarrow", **retry_args
         )
     else:
         apply_fn = make_apply_fn(lake_root, wid, cfg)
         stats_ds = ds.groupby("partition_id").map_groups(
-            apply_fn, batch_format="pyarrow"
+            apply_fn, batch_format="pyarrow", **retry_args
         )
-    stats = stats_ds.to_pandas()
+    try:
+        stats = stats_ds.to_pandas()
+    finally:
+        ctx.max_errored_blocks = prev_errored
     if len(stats) == 0:
         stats = pd.DataFrame(columns=STATS_COLUMNS)
     return stats

@@ -10,12 +10,18 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        # workers must be able to unpickle classes defined in test modules
+        # (pickled by reference to their module name) → tests dir on path
+        tests_dir = os.path.dirname(os.path.abspath(__file__))
+        existing = os.environ.get("PYTHONPATH", "")
+        pythonpath = f"{tests_dir}:{existing}" if existing else tests_dir
         ray.init(
             address="local",
             num_cpus=4,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env={"env_vars": {"PYTHONPATH": pythonpath}},
         )
     from ray.data import DataContext
 

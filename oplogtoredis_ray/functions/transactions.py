@@ -87,6 +87,12 @@ def flatten_raw_entry(
     op = raw.get("op")
     if op in ("i", "u", "d"):
         data = raw.get("o")
+        # the reference consumes the tx index BEFORE the _id parse can fail
+        # (tail.go parseRawOplogEntry): a dropped missing-_id inner op still
+        # shifts subsequent ops' tx_idx, keeping (ts, seq, tx_idx) identity
+        # bit-parity for transactions containing such an op
+        my_idx = _tx.value
+        _tx.value += 1
         doc_id = _parse_id(raw.get("o2") if op == "u" else raw.get("o"))
         if doc_id is None:
             return []
@@ -97,9 +103,8 @@ def flatten_raw_entry(
             data=data,
             op=op,
             namespace=ns,
-            tx_idx=_tx.value,
+            tx_idx=my_idx,
         )
-        _tx.value += 1
         return [entry]
 
     if op == "c":

@@ -34,7 +34,7 @@ import pandas as pd
 
 from oplogtoredis_ray.config import PipelineConfig
 from oplogtoredis_ray.sources.event_log import log_ts_bounds, read_event_window
-from oplogtoredis_ray.stages.apply import STATS_COLUMNS, make_apply_fn
+from oplogtoredis_ray.stages.apply import empty_stats, make_apply_fn
 from oplogtoredis_ray.stages.parse import ParseStage
 from oplogtoredis_ray.state.manifest import (
     append_completed_window,
@@ -214,7 +214,7 @@ def run_window(
     finally:
         ctx.max_errored_blocks = prev_errored
     if len(stats) == 0:
-        stats = pd.DataFrame(columns=STATS_COLUMNS)
+        stats = empty_stats()
     return stats
 
 

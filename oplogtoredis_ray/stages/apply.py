@@ -53,11 +53,24 @@ STATS_COLUMNS = [
 ]
 
 
+_STATS_DTYPES = {
+    c: ("object" if c == "window_id" else "bool" if c == "skipped" else "int64")
+    for c in STATS_COLUMNS
+}
+
+
+def empty_stats() -> pd.DataFrame:
+    """Schema-typed empty stats frame — keeps every block of the stats
+    stream on ONE schema so the streaming executor never logs
+    'RefBundle with a different schema' for our outputs."""
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _STATS_DTYPES.items()})
+
+
 def _stats_row(pid: int, window_id: str, **kw) -> pd.DataFrame:
     base = {c: 0 for c in STATS_COLUMNS}
     base.update({"partition_id": pid, "window_id": window_id, "skipped": False})
     base.update(kw)
-    return pd.DataFrame([base], columns=STATS_COLUMNS)
+    return pd.DataFrame([base], columns=STATS_COLUMNS).astype(_STATS_DTYPES)
 
 
 def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
@@ -86,7 +99,7 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
 
     def apply_group(group: pa.Table) -> pd.DataFrame:
         if len(group) == 0:
-            return pd.DataFrame(columns=STATS_COLUMNS)
+            return empty_stats()
         pid = int(group["partition_id"][0].as_py())
         manifest = read_manifest(lake_root, pid)
         if window_id in manifest.lineage:

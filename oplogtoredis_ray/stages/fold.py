@@ -40,9 +40,14 @@ ORDER_COLS = ["ts", "seq", "tx_idx"]
 
 def sort_and_dedup(events: pd.DataFrame) -> pd.DataFrame:
     """Order by the event identity triple and drop exact replays (keep
-    first — ≙ Lua GET-before-SETEX, lib/redispub/publisher.go:41-62)."""
+    first — ≙ Lua GET-before-SETEX, lib/redispub/publisher.go:41-62).
+
+    Dedup is on triple AND key: two distinct keys sharing a triple (corrupt
+    upstream sequencing) are both kept — the same documented deviation the
+    Arrow hot path (arrow_fold.order_dedup_filter) implements, so the two
+    implementations agree on that edge."""
     out = events.sort_values(ORDER_COLS, kind="mergesort")
-    return out.drop_duplicates(subset=ORDER_COLS, keep="first")
+    return out.drop_duplicates(subset=ORDER_COLS + KEY_COLS, keep="first")
 
 
 def drop_below_watermark(events: pd.DataFrame, watermark: tuple[int, int, int]) -> pd.DataFrame:

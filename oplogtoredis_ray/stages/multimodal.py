@@ -1,11 +1,13 @@
 """Multimodal column stages — image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/resize/feature kernels themselves are STUBBED (no image/audio
-libraries in this container — each raises ``NotImplementedError`` unless a
-deterministic fake is injected), but the Ray-side plumbing is real and
-tested: schemas, actor-pool signatures, batch sizing for large binary
-payloads, and the output layout.
+Decoding: the default decoder (functions/codecs.py) really decodes the
+container-free formats — PPM/PGM images, 24-bit BMP, PCM WAV — using only
+stdlib + NumPy.  Formats that need codec libraries absent from this
+container (PNG/JPEG/MP4/...) raise ``NotImplementedError`` unless a decoder
+is injected — that stub path is deliberate and documented.  The Ray-side
+plumbing is real and tested either way: schemas, actor-pool signatures,
+batch sizing for large binary payloads, and the output layout.
 
 Design notes for 100 TB:
 - binary payloads make rows wide: callers should size ``batch_size`` small
@@ -64,10 +66,43 @@ def synthesize_media_table(n: int, seed: int = 0, payload_bytes: int = 4096) -> 
     )
 
 
-def _stub_decoder(payload: bytes, mime: str) -> np.ndarray:
-    raise NotImplementedError(
-        "media decoding requires an image/audio library not present in this "
-        "container; inject a decoder via the stage constructor"
+def synthesize_decodable_media_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic media table whose payloads REALLY decode with the
+    default decoder: PPM images, BMP images and PCM WAV clips round-robin."""
+    from oplogtoredis_ray.functions.codecs import encode_bmp, encode_ppm, encode_wav
+
+    rng = np.random.default_rng(seed)
+    kinds, mimes, payloads, widths, heights, durations = [], [], [], [], [], []
+    for i in range(n):
+        mode = i % 3
+        if mode == 0:
+            img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+            kinds.append("image")
+            mimes.append("image/x-portable-pixmap")
+            payloads.append(encode_ppm(img))
+            widths.append(16); heights.append(12); durations.append(None)
+        elif mode == 1:
+            img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+            kinds.append("image")
+            mimes.append("image/bmp")
+            payloads.append(encode_bmp(img))
+            widths.append(11); heights.append(9); durations.append(None)
+        else:
+            clip = rng.integers(-20000, 20000, (800, 2)).astype(np.int16)
+            kinds.append("audio")
+            mimes.append("audio/wav")
+            payloads.append(encode_wav(clip, rate=8000))
+            widths.append(None); heights.append(None); durations.append(100)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes, type=pa.string()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "duration_ms": pa.array(durations, type=pa.int32()),
+        }
     )
 
 
@@ -86,7 +121,13 @@ class MediaFeatureStage:
         decoder: Callable[[bytes, str], np.ndarray] | None = None,
         feature_dim: int = 16,
     ):
-        self.decoder = decoder or _stub_decoder
+        if decoder is None:
+            # container-free real decoders (PPM/PGM/BMP/WAV); anything that
+            # needs codec libs raises NotImplementedError per payload
+            from oplogtoredis_ray.functions.codecs import default_decoder
+
+            decoder = default_decoder
+        self.decoder = decoder
         self.feature_dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -61,6 +61,17 @@ def _unify_to_schema(table: pa.Table, schema: dict) -> pa.Table:
     return pa.table(cols)
 
 
+def _ensure_schema_cols(table: pa.Table, schema: dict) -> pa.Table:
+    """Add (null-filled, typed) any schema column missing from ``table``
+    while PRESERVING its extra columns (delta links carry op/seq/tx_idx and
+    set_* flags the merge needs)."""
+    n = len(table)
+    for name, typ in schema.items():
+        if name not in table.column_names:
+            table = table.append_column(name, pa.nulls(n, typ))
+    return table
+
+
 def merge_partition_chain(
     lake_root: str,
     chain: list[str],
@@ -78,6 +89,13 @@ def merge_partition_chain(
         return _unify_to_schema(tables[0], schema)
     from oplogtoredis_ray.stages.arrow_fold import merge_chain
 
+    # null-fill configured payload columns on EVERY chain link before the
+    # merge (not only on the merged output): a link written before a
+    # payload_cols evolution (or a compacted base) lacks the new column and
+    # the fold kernels index state[c]/table[c] directly — the module
+    # docstring's "readers unify schemas and null-fill" claim must hold
+    # per-link, not just per-result
+    tables = [_ensure_schema_cols(t, schema) for t in tables]
     return _unify_to_schema(merge_chain(tables, payload_cols), schema)
 
 

@@ -20,6 +20,16 @@ from oplogtoredis_ray.functions import (
 
 
 # --- ChangedFields matrix (oplogEntry_test.go:154-351) -----------------------
+# Every reference case name, mapped 1:1:
+#   Insert → insert; Replacement update → replacement_update; Delete → delete;
+#   Update → update_v1; Update, no operations → update_v1_no_ops;
+#   Update, unexpected operation value type → update_v1_unexpected_value_type;
+#   Update v2 → update_v2_shallow; Update v2 deep → update_v2_deep;
+#   Update v2, no operations[, deep] → update_v2_no_ops[_deep];
+#   Update v2, unexpected operation value type[, deep] →
+#   update_v2_unexpected_value_type[_deep].
+# TestCategorization / TestMapKeys[Raw] / TestUpdateIsReplace /
+# TestUpdateIsV2Formatted map to the building-block tests at the bottom.
 
 MATRIX = [
     # (name, op, data, want, v2_deep)
@@ -178,9 +188,13 @@ def test_is_v2_update():
 
 
 def test_update_is_replace():
+    # ≙ TestUpdateIsReplace (oplogEntry_test.go:109-152): set / unset /
+    # set-and-unset / replacement
     assert update_is_replace({"foo": "bar"})
     assert not update_is_replace({"$set": {"a": 1}})
     assert not update_is_replace({"$unset": {"a": True}})
+    assert not update_is_replace({"$set": {"foo": "bar"}, "$unset": {"foo": "bar"}})
+    assert update_is_replace({"$v": {"foo": "bar"}, "foo": "bar"})  # "replacement"
     assert not update_is_replace({"$v": 2, "diff": {}})
     assert update_is_replace({"$v": 2})  # v2 without diff is not a v2 update
 

@@ -152,3 +152,55 @@ def test_commit_manifest_is_monotonic(tmp_path):
     # moving forward still works
     assert commit_manifest(lake, man(["w1", "w2", "w3"], (3, 0, 0))) is True
     assert read_manifest(lake, 0).lineage == ["w1", "w2", "w3"]
+
+
+def test_chain_link_missing_payload_column_null_fills(tmp_path):
+    """A chain link written before a payload_cols evolution (or a compacted
+    base) lacks the new column; every link must be null-filled BEFORE the
+    merge, not only the merged output (regression: KeyError in
+    state_rows_to_pseudo / fold when 'tool' was added between runs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oplogtoredis_ray.state.lake import merge_partition_chain
+
+    lake = str(tmp_path / "lake")
+    pdir = os.path.join(lake, "lake", "p=00000")
+    os.makedirs(pdir)
+    # old compacted base: no 'tool' column, no 'op' column
+    base = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"]),
+            "turn_idx": pa.array([0, 0], type=pa.int32()),
+            "role": pa.array(["user", "user"]),
+            "text": pa.array(["old-a", "old-b"]),
+            "ts": pa.array([100, 100], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(base, os.path.join(pdir, "state-w1-x.parquet"))
+    # newer delta (pseudo-events), written after 'tool' was added
+    delta = pa.table(
+        {
+            "ts": pa.array([200], type=pa.int64()),
+            "seq": pa.array([0], type=pa.int64()),
+            "tx_idx": pa.array([0], type=pa.int64()),
+            "op": pa.array(["u"]),
+            "conv_id": pa.array(["a"]),
+            "turn_idx": pa.array([0], type=pa.int32()),
+            "role": pa.array([None], type=pa.string()),
+            "text": pa.array(["new-a"]),
+            "tool": pa.array(["t1"]),
+        }
+    )
+    pq.write_table(delta, os.path.join(pdir, "delta-w2-y.parquet"))
+    chain = [
+        os.path.join("lake", "p=00000", "state-w1-x.parquet"),
+        os.path.join("lake", "p=00000", "delta-w2-y.parquet"),
+    ]
+    out = merge_partition_chain(lake, chain, payload_cols=("role", "text", "tool"))
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert list(df["conv_id"]) == ["a", "b"]
+    assert list(df["text"]) == ["new-a", "old-b"]
+    assert df.loc[0, "tool"] == "t1"
+    assert pd.isna(df.loc[1, "tool"])  # null-filled, not KeyError
+    assert df.loc[0, "role"] == "user"  # patch kept prior role

@@ -35,6 +35,24 @@ import time
 REPS = int(os.environ.get("OTR_BENCH_REPS", "3"))
 
 
+def _quiet_empty_schema_warnings() -> None:
+    """Our stages emit schema-typed blocks everywhere (incl. empties), but
+    Ray's sort-shuffle itself produces schema-LESS empty blocks for reduce
+    partitions that received no rows (verified: the UDF is never called for
+    them), which trips the executor's 'RefBundle with a different schema'
+    warning.  That residue is Ray-internal and cosmetic — filter just that
+    message so real schema drift still surfaces."""
+    import logging
+
+    class _DropEmptySchema(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchema())
+
+
 def _tune_host() -> None:
     """Best-effort: disable THP direct compaction — measured to stall large
     first-touch allocations by seconds under full-cluster concurrency in
@@ -92,6 +110,7 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
 
 def _run_bench() -> None:
     _tune_host()
+    _quiet_empty_schema_warnings()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -145,30 +164,9 @@ def _run_bench() -> None:
 
     # sustained-ingest variant LAST (a 46M-event ingest would evict the
     # warmed tables and contaminate the operator timings above): 8
-    # resumable windows in the append-only delta layout
-    import shutil
-
-    from oplogtoredis_ray.config import PipelineConfig
-    from oplogtoredis_ray.pipelines.ingest import run_ingest
-    from oplogtoredis_ray.pipelines.queries import ensure_synth_log
-    from oplogtoredis_ray.sources.event_log import log_ts_bounds
-
-    log_dir = ensure_synth_log(sf_dir)
-    lo, hi = log_ts_bounds(log_dir)
-    n_files = len(glob.glob(os.path.join(log_dir, "*.parquet")))
-    P = 128 if head["events"] >= 10_000_000 else 64
-    dcfg = PipelineConfig(
-        num_partitions=P,
-        read_blocks=max(P, n_files),
-        window_us=(hi - lo) // 8 + 1,
-        state_mode="delta",
-        compact_threshold=4,
-    )
-    lake = tempfile.mkdtemp(prefix="otr_bench_delta_")
-    t0 = time.perf_counter()
-    run_ingest(log_dir, lake, dcfg)
-    query_secs["cdc_apply_8windows_delta"] = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(lake, ignore_errors=True)
+    # resumable windows in the append-only delta layout, with concurrent GC
+    windowed = _windowed_delta_run(sf_dir, head["events"])
+    query_secs["cdc_apply_8windows_delta"] = windowed["sec"]
 
     result = {
         "metric": "cdc apply throughput (windowed exactly-once replay into lake)",
@@ -180,14 +178,99 @@ def _run_bench() -> None:
         "events": head["events"],
         "events_per_sec": head["events_per_sec"],
         "headline_reps": head["times"],
+        "windowed_delta": windowed,
     }
     print(json.dumps(result))
     ray.shutdown()
 
 
+def _windowed_delta_run(sf_dir: str, n_events: int, reps: int = 1) -> dict:
+    """First-class sustained-ingest metric: 8 resumable windows in the delta
+    layout (compaction at compact_threshold=4) with a CONCURRENT garbage
+    collector, reporting throughput and write amplification
+    (bytes written to the lake / bytes of the final live state)."""
+    import shutil
+    import threading
+
+    from oplogtoredis_ray.config import PipelineConfig
+    from oplogtoredis_ray.pipelines.ingest import run_ingest
+    from oplogtoredis_ray.pipelines.queries import ensure_synth_log
+    from oplogtoredis_ray.sources.event_log import log_ts_bounds
+    from oplogtoredis_ray.state.gc import collect_garbage
+    from oplogtoredis_ray.state.manifest import read_all_manifests
+
+    log_dir = ensure_synth_log(sf_dir)
+    lo, hi = log_ts_bounds(log_dir)
+    n_files = len(glob.glob(os.path.join(log_dir, "*.parquet")))
+    P = 128 if n_events >= 10_000_000 else 64
+    dcfg = PipelineConfig(
+        num_partitions=P,
+        read_blocks=max(P, n_files),
+        window_us=(hi - lo) // 8 + 1,
+        state_mode="delta",
+        compact_threshold=4,
+    )
+    best = None
+    for _ in range(reps):
+        lake = tempfile.mkdtemp(prefix="otr_bench_delta_")
+        gc_stats = {"files": 0, "bytes": 0}
+        stop = threading.Event()
+
+        def gc_loop():
+            while not stop.wait(3.0):
+                # size-then-unlink the grace-filtered candidates so removed
+                # bytes count toward total write volume
+                for rel in collect_garbage(lake, dry_run=True, grace_seconds=2.0):
+                    path = os.path.join(lake, rel)
+                    try:
+                        gc_stats["bytes"] += os.path.getsize(path)
+                        os.unlink(path)
+                        gc_stats["files"] += 1
+                    except OSError:
+                        pass
+
+        gc_thread = threading.Thread(target=gc_loop, daemon=True)
+        gc_thread.start()
+        t0 = time.perf_counter()
+        res = run_ingest(log_dir, lake, dcfg)
+        sec = time.perf_counter() - t0
+        stop.set()
+        gc_thread.join()
+        # whatever GC hasn't reclaimed yet is still on disk: split into live
+        # (manifest-referenced) and not-yet-collected garbage
+        referenced: set[str] = set()
+        for m in read_all_manifests(lake):
+            referenced.update(m.chain())
+        live_bytes = 0
+        resident_bytes = 0
+        for root, _, files in os.walk(os.path.join(lake, "lake")):
+            for f in files:
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, lake)
+                sz = os.path.getsize(p)
+                resident_bytes += sz
+                if rel in referenced:
+                    live_bytes += sz
+        total_written = resident_bytes + gc_stats["bytes"]
+        rep = {
+            "sec": round(sec, 3),
+            "windows": res.windows_run,
+            "events_per_sec": round(res.events_in / sec, 1),
+            "bytes_written_total": total_written,
+            "bytes_live": live_bytes,
+            "write_amplification": round(total_written / max(live_bytes, 1), 2),
+            "gc_files_removed_during_ingest": gc_stats["files"],
+        }
+        shutil.rmtree(lake, ignore_errors=True)
+        if best is None or rep["sec"] < best["sec"]:
+            best = rep
+    return best
+
+
 def _scaling_child() -> None:
     """Child mode: headline only, one JSON line."""
     _tune_host()
+    _quiet_empty_schema_warnings()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     import ray
@@ -202,7 +285,8 @@ def _scaling_child() -> None:
 
     DataContext.get_current().enable_progress_bars = False
     head = _headline(sf_dir, num_cpus)
-    print(json.dumps({"num_cpus": num_cpus, **head}))
+    windowed = _windowed_delta_run(sf_dir, head["events"], reps=2)
+    print(json.dumps({"num_cpus": num_cpus, "windowed": windowed, **head}))
     ray.shutdown()
 
 
@@ -231,6 +315,8 @@ def _run_scaling() -> None:
     tp_lo = r_lo["events_per_sec"]
     tp_hi = r_hi["events_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    w_lo, w_hi = r_lo["windowed"], r_hi["windowed"]
+    w_eff = (w_hi["events_per_sec"] / w_lo["events_per_sec"]) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
             {
@@ -244,6 +330,15 @@ def _run_scaling() -> None:
                 "speedup": round(tp_hi / tp_lo, 3),
                 "scaling_efficiency": round(eff, 3),
                 "events": r_lo["events"],
+                # the streaming-shaped variant: 8 resumable delta windows
+                # with compaction + concurrent GC — scaling measured on the
+                # windowed pipeline, not only the single-window replay
+                "windowed_sec_8": w_lo["sec"],
+                "windowed_sec_32": w_hi["sec"],
+                "windowed_events_per_sec_8": w_lo["events_per_sec"],
+                "windowed_events_per_sec_32": w_hi["events_per_sec"],
+                "windowed_scaling_efficiency": round(w_eff, 3),
+                "windowed_write_amplification": w_hi["write_amplification"],
             }
         )
     )

@@ -30,6 +30,18 @@ def _init_ray(num_cpus: int | None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray's sort-shuffle emits schema-less EMPTY blocks for reduce
+    # partitions with no rows, tripping a cosmetic executor warning; our own
+    # blocks are schema-typed everywhere, so filter just that message
+    import logging
+
+    class _DropEmptySchema(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchema())
 
 
 def main(argv: list[str] | None = None) -> int:

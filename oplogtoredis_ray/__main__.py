@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--idle-rounds", type=int, default=3)
     pf.add_argument("--poll-seconds", type=float, default=1.0)
     pf.add_argument("--num-cpus", type=int, default=None)
+    pf.add_argument(
+        "--http-port",
+        type=int,
+        default=None,
+        help="serve /healthz /metrics /denylist next to the tail loop",
+    )
 
     ps = sub.add_parser("status", help="lake status from manifests")
     ps.add_argument("--lake", required=True)
@@ -76,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("action", choices=["add", "remove", "list"])
     pd_.add_argument("entries", nargs="*")
     pd_.add_argument("--lake", required=True)
+
+    psv = sub.add_parser(
+        "serve", help="HTTP control plane: /healthz /metrics /denylist CRUD"
+    )
+    psv.add_argument("--lake", required=True)
+    psv.add_argument("--log", default=None)
+    psv.add_argument("--port", type=int, default=8080)
 
     pg = sub.add_parser("gc", help="remove superseded state files")
     pg.add_argument("--lake", required=True)
@@ -140,6 +153,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.partitions is not None:
             kwargs["num_partitions"] = args.partitions
         cfg = PipelineConfig(**kwargs)
+        server = None
+        if args.http_port is not None:
+            # control plane next to the tail loop (≙ main.go:301-359);
+            # denylist mutations land at the next window boundary
+            import threading
+
+            from oplogtoredis_ray.http_api import make_server
+
+            server = make_server(args.lake, log_dir=args.log, port=args.http_port)
+            threading.Thread(target=server.serve_forever, daemon=True).start()
         res = run_follow(
             args.log,
             args.lake,
@@ -152,7 +175,20 @@ def main(argv: list[str] | None = None) -> int:
                 {"windows_run": res.windows_run, "events_in": res.events_in}
             )
         )
+        if server is not None:
+            server.shutdown()
         ray.shutdown()
+        return 0
+
+    if args.cmd == "serve":
+        from oplogtoredis_ray.http_api import make_server
+
+        server = make_server(args.lake, log_dir=args.log, port=args.port)
+        print(json.dumps({"listening": list(server.server_address)}), flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
         return 0
 
     if args.cmd == "status":

@@ -170,39 +170,6 @@ def _candidate_pairs_from_bucket(group: pd.DataFrame, id_col: str, cap: int = 50
     return out
 
 
-class ShingleExport:
-    """Batch stage: explode each doc into (doc_id, shingle_hash) rows — the
-    deterministic per-doc shingle-hash sets used for exact Jaccard
-    verification (exported so an external SQL oracle can replay the
-    verification arithmetic on identical hash values)."""
-
-    def __init__(self, shingle_k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
-        self.k = shingle_k
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_h = [], []
-        for i, t in enumerate(texts):
-            hs = shingle_hashes(t, self.k)
-            out_id.append(np.full(len(hs), ids[i], dtype=np.int64))
-            out_h.append(hs)
-        return pa.table(
-            {
-                self.id_col: pa.array(
-                    np.concatenate(out_id) if out_id else np.array([], dtype=np.int64),
-                    type=pa.int64(),
-                ),
-                "h": pa.array(
-                    np.concatenate(out_h) if out_h else np.array([], dtype=np.uint64),
-                    type=pa.uint64(),
-                ),
-            }
-        )
-
-
 class AssignCluster:
     """Batch stage: label each doc id with its component root from the
     broadcast (small, near-dup-density-sized) resolved union-find map.
@@ -251,13 +218,13 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
     )
     if materialize_dir:
-        _rewrite_parquet(sig_rows, os.path.join(materialize_dir, "minhash_sigs"))
-        _rewrite_parquet(
-            ds.map_batches(
-                ShingleExport(shingle_k, text_col, id_col), batch_format="pyarrow"
-            ),
-            os.path.join(materialize_dir, "minhash_shingles"),
-        )
+        sig_dir = os.path.join(materialize_dir, "minhash_sigs")
+        _rewrite_parquet(sig_rows, sig_dir)
+        # downstream consumes the exported parquet instead of recomputing
+        # the signature stage (lazy Datasets re-execute per consumer)
+        import ray.data as rd
+
+        sig_rows = rd.read_parquet(sig_dir)
     pairs = (
         sig_rows.groupby(["band_id", "band_bucket"])
         .map_groups(
@@ -283,6 +250,7 @@ def minhash_lsh_dedup(
     # with a DISTRIBUTED filter (broadcast id set) — the driver receives
     # only candidate-density-many rows, never scans the corpus itself
     verified = []
+    sh: dict[int, np.ndarray] = {}
     if len(pairs):
         all_ids = pd.unique(pd.concat([pairs["a_id"], pairs["b_id"]]))
         id_arr = pa.array(np.sort(all_ids.astype(np.int64)))
@@ -305,6 +273,37 @@ def minhash_lsh_dedup(
             union = len(sa) + len(sb) - inter
             if union and inter / union >= jaccard_threshold:
                 verified.append((int(a), int(b)))
+
+    if materialize_dir:
+        # export the per-doc shingle-hash sets of CANDIDATE docs only (the
+        # set the oracle's Jaccard verification actually joins; sized by
+        # candidate density, not the corpus — already resident from the
+        # verification step, no extra scan)
+        shingle_dir = os.path.join(materialize_dir, "minhash_shingles")
+        if os.path.isdir(shingle_dir):
+            shutil.rmtree(shingle_dir)
+        os.makedirs(shingle_dir, exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        ids_out = (
+            np.concatenate([np.full(len(h), i, dtype=np.int64) for i, h in sh.items()])
+            if sh
+            else np.array([], dtype=np.int64)
+        )
+        hs_out = (
+            np.concatenate(list(sh.values()))
+            if sh
+            else np.array([], dtype=np.uint64)
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    id_col: pa.array(ids_out, type=pa.int64()),
+                    "h": pa.array(hs_out, type=pa.uint64()),
+                }
+            ),
+            os.path.join(shingle_dir, "shingles.parquet"),
+        )
 
     # union-find over verified pairs (small by construction)
     parent: dict[int, int] = {}

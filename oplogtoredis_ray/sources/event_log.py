@@ -87,8 +87,17 @@ def _to_us(value) -> int:
     import datetime
 
     if isinstance(value, datetime.datetime):
+        # integer field arithmetic, NOT total_seconds()*1e6: the float
+        # rounds (e.g. 1004 µs → 1003.999... → 1003) and at 2024-scale
+        # timestamps can shave 1 µs off the log's max ts — silently
+        # excluding the final event(s) from the last ingest window
         epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-        return int((value - epoch).total_seconds() * 1_000_000)
+        delta = value - epoch
+        return (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
     return int(value)
 
 

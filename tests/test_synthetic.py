@@ -175,3 +175,32 @@ def test_sharded_generation_identity_and_oracle(tmp_path):
     final = oracle_apply(log)
     assert len(final) > 0
     assert final.duplicated(["conv_id", "turn_idx"]).sum() == 0
+
+
+def test_log_ts_bounds_integer_exact(tmp_path):
+    """Regression: statistics-datetime → µs conversion must use integer
+    field arithmetic; float total_seconds()*1e6 truncated 1004 µs to 1003,
+    and at 2024-scale timestamps shaved 1 µs off the log max — silently
+    excluding the final event(s) from the last window."""
+    import pandas as pd
+
+    from oplogtoredis_ray.sources.event_log import _to_us, log_ts_bounds
+    from oplogtoredis_ray.sources.synthetic import write_event_log
+
+    rows = [
+        dict(ts=ts, seq=i, tx_idx=-1, op="i", conv_id="c", turn_idx=i,
+             role="user", text="x", tool=None, _file=0)
+        for i, ts in enumerate([1000, 1004, 1_705_000_000_000_007])
+    ]
+    d = str(tmp_path / "ev")
+    write_event_log(pd.DataFrame(rows), d, evo_ts=0)
+    lo, hi = log_ts_bounds(d)
+    assert (lo, hi) == (1000, 1_705_000_000_000_007)
+
+    import datetime
+
+    assert _to_us(datetime.datetime(1970, 1, 1, 0, 0, 0, 1004)) == 1004
+    assert _to_us(datetime.datetime(2024, 1, 11, 18, 26, 40, 7)) == (
+        int(datetime.datetime(2024, 1, 11, 18, 26, 40, 7)
+            .replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000 + 7
+    )

@@ -87,6 +87,17 @@ class PipelineConfig:
     task_max_retries: int = 4
     retry_exceptions: bool = True
     max_errored_blocks: int = 0
+    # resume-point read policy (≙ ResumeTsReadRetries / ResumeTsReadRetryDelay
+    # / OTR_RESUME_FROM_END_ON_FAILURE, lib/config/main.go:191-219): the
+    # resume computation retries transient checkpoint-read failures with
+    # linear backoff; after exhausting retries the default is to ABORT
+    # (fail-closed — skipping ahead would silently drop every event since
+    # the last processed position).  resume_from_end_on_failure=True is the
+    # explicit escape hatch: start from the end of the log instead of
+    # staying down, at the documented cost of skipping events.
+    resume_read_retries: int = 5
+    resume_read_retry_delay_s: float = 0.5
+    resume_from_end_on_failure: bool = False
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

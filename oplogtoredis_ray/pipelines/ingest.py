@@ -293,8 +293,35 @@ def run_ingest(
     from oplogtoredis_ray.state.manifest import read_all_manifests
     from oplogtoredis_ray.state.metrics import write_run_metrics
 
-    read_all_manifests(lake_root)  # raises ManifestReadError on corruption
-    resume = resume_watermark(lake_root)
+    # resume-point read with bounded retries + linear backoff (≙
+    # ResumeTsReadRetries/Delay): a present-but-unreadable checkpoint aborts
+    # after retries — unless the explicit resume_from_end_on_failure escape
+    # hatch is set, which starts from the log end at the documented cost of
+    # skipping events (≙ OTR_RESUME_FROM_END_ON_FAILURE)
+    from oplogtoredis_ray.state.manifest import ManifestReadError
+
+    resume = None
+    for attempt in range(1, max(cfg.resume_read_retries, 1) + 1):
+        try:
+            read_all_manifests(lake_root)  # raises ManifestReadError on corruption
+            resume = resume_watermark(lake_root)
+            break
+        except ManifestReadError:
+            if attempt >= max(cfg.resume_read_retries, 1):
+                if not cfg.resume_from_end_on_failure:
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "resume point unreadable after %d attempts; "
+                    "resume_from_end_on_failure is set — starting from the "
+                    "log end (events before %d are SKIPPED)",
+                    attempt,
+                    hi,
+                )
+                resume = hi
+                break
+            _time.sleep(cfg.resume_read_retry_delay_s * attempt)
 
     start = max(resume, lo - 1)
     if cfg.max_catch_up_us is not None and hi - start > cfg.max_catch_up_us:

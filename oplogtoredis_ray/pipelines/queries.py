@@ -125,6 +125,7 @@ def ensure_oracle_intermediates(sf_dir: str) -> None:
     q_minhash_dedup(sf_dir).materialize()
     q_simhash_pairs(sf_dir)
     q_ivf_topk(sf_dir)
+    q_neardup_lsh(sf_dir).materialize()
 
 
 # --- query implementations ---------------------------------------------------
@@ -582,6 +583,19 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_neardup_lsh(sf_dir: str):
+    """Bucketed embedding near-dup pairs (the cosine-threshold scale path):
+    random-hyperplane buckets → per-bucket pair compare.  The (vec_id,
+    bucket) assignment is exported as parquet, so the oracle SQL derives
+    the identical pair set — the LSH approximation is hash-verifiable."""
+    from oplogtoredis_ray.pipelines.similarity import lsh_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_neardup_pairs(
+        ds, num_planes=6, threshold=0.3, materialize_dir=_oracle_dir(sf_dir)
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clustering.  The band-bucket signature rows and
     per-doc shingle-hash sets are exported as parquet, so the oracle SQL
@@ -935,6 +949,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_embeddings": q_neardup_embeddings,
+    "neardup_lsh": q_neardup_lsh,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "change_records": q_change_records,
@@ -1249,6 +1264,17 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
               JOIN embeddings e ON e.vec_id = c.vec_id
               JOIN q ON q.query_id = c.query_id)
             WHERE rnk <= 10
+        """,
+        "neardup_lsh": f"""
+            WITH asn AS (SELECT vec_id, bucket
+                         FROM read_parquet('{od}/lsh_assign/*.parquet'))
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM asn a
+            JOIN asn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.3
         """,
         "neardup_embeddings": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -309,3 +309,89 @@ def lsh_signatures(
     bits = (M @ planes) >= 0
     weights = (1 << np.arange(num_planes)).astype(np.uint32)
     return (bits.astype(np.uint32) * weights).sum(axis=1).astype(np.uint32)
+
+
+class LSHBucketStage:
+    """Batch stage: random-hyperplane bucket id per vector from the
+    broadcast seeded plane matrix (fetched once per actor)."""
+
+    def __init__(self, planes_ref, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        P = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        self.P = P
+        self.weights = (1 << np.arange(P.shape[1])).astype(np.int64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _matrix_from_list_column(batch[self.vec_col])
+        bits = (E @ self.P) >= 0
+        bucket = (bits.astype(np.int64) * self.weights).sum(axis=1)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "bucket": pa.array(bucket, type=pa.int64()),
+                self.vec_col: batch[self.vec_col],
+            }
+        )
+
+
+def lsh_neardup_pairs(
+    ds,
+    num_planes: int = 6,
+    threshold: float = 0.3,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize_dir: str | None = None,
+):
+    """Bucketed embedding near-dup pairs — the scale path for cosine ≥ τ:
+    vectors sharing a random-hyperplane bucket are compared pairwise INSIDE
+    their bucket's group (groupby exchange moves each vector once; no
+    all-pairs).  Recall < 1 by construction (cross-bucket pairs are
+    unseen) — that approximation is exactly replayable: with
+    ``materialize_dir`` the (vec_id, bucket) assignment is exported and an
+    external engine can derive the identical pair set.
+
+    Returns a Dataset of canonical (a_id, b_id) pairs."""
+    import ray
+    import pandas as pd
+
+    # probe one row for the dimensionality; plane matrix is seeded + broadcast
+    first = ds.limit(1).to_pandas()
+    dim = len(first[vec_col].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes_ref = ray.put(rng.standard_normal((dim, num_planes)))
+    bucketed = ds.map_batches(
+        LSHBucketStage,
+        fn_constructor_args=(planes_ref, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    if materialize_dir:
+        import os
+        import shutil
+
+        asn_dir = os.path.join(materialize_dir, "lsh_assign")
+        if os.path.isdir(asn_dir):
+            shutil.rmtree(asn_dir)
+        os.makedirs(asn_dir, exist_ok=True)
+        bucketed.drop_columns([vec_col]).write_parquet(asn_dir)
+
+    tau = threshold
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a_id": pd.array([], dtype="int64"), "b_id": pd.array([], dtype="int64")}
+            )
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order].astype(np.int64)
+        M = _normalize(np.stack(g[vec_col].to_numpy()[order]).astype(np.float64))
+        sims = M @ M.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= tau
+        return pd.DataFrame({"a_id": ids[a][keep], "b_id": ids[b][keep]})
+
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

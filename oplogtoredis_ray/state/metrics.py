@@ -46,12 +46,21 @@ def _deadletter_totals(lake_root: str) -> tuple[int, int]:
 
 
 def build_run_metrics(lake_root: str, result, log_end_us: int | None, wall_s: float | None = None) -> dict:
-    from oplogtoredis_ray.state.manifest import read_all_manifests, read_completed_windows
+    from oplogtoredis_ray.state.manifest import (
+        ManifestReadError,
+        read_all_manifests,
+        read_completed_windows,
+    )
 
     windows = read_completed_windows(lake_root)
     applied_end = max((w["end_us"] for w in windows), default=None)
-    manifests = read_all_manifests(lake_root)
-    min_wm = min((m.watermark[0] for m in manifests), default=None)
+    try:
+        manifests = read_all_manifests(lake_root)
+        min_wm = min((m.watermark[0] for m in manifests), default=None)
+    except ManifestReadError:
+        # observability must not mask the escape-hatch path (ingest already
+        # decided how to handle the corruption); surface it instead
+        manifests, min_wm = [], None
     dl_files, dl_rows = _deadletter_totals(lake_root)
     return {
         "at_unix": time.time(),

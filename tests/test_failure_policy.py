@@ -153,3 +153,42 @@ class TestFailurePolicy:
         want = oracle_apply(df)
         # the dropped block's events are missing — counted, not silent-lost-all
         assert 0 < len(got) <= len(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumeEscapeHatch:
+    """≙ OTR_RESUME_FROM_END_ON_FAILURE (lib/config/main.go:191-219):
+    default fail-closed on an unreadable resume point; the explicit escape
+    hatch starts from the log end instead of staying down."""
+
+    def _corrupt(self, lake):
+        mdir = os.path.join(lake, "manifests")
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, "p-00000.json"), "w") as f:
+            f.write("{broken")
+
+    def test_default_fails_closed_after_retries(self, tmp_path, log):
+        from oplogtoredis_ray.state.manifest import ManifestReadError
+
+        log_dir, _ = log
+        lake = str(tmp_path / "lake")
+        self._corrupt(lake)
+        cfg = _one_window_cfg(
+            log_dir, resume_read_retries=2, resume_read_retry_delay_s=0.01
+        )
+        with pytest.raises(ManifestReadError):
+            run_ingest(log_dir, lake, cfg)
+
+    def test_escape_hatch_resumes_from_end(self, tmp_path, log):
+        log_dir, _ = log
+        lake = str(tmp_path / "lake")
+        self._corrupt(lake)
+        cfg = _one_window_cfg(
+            log_dir,
+            resume_read_retries=2,
+            resume_read_retry_delay_s=0.01,
+            resume_from_end_on_failure=True,
+        )
+        res = run_ingest(log_dir, lake, cfg)  # no raise: skipped to log end
+        assert res.windows_run == 0
+        assert res.events_in == 0

@@ -288,3 +288,36 @@ class TestCodecs:
         assert np.array_equal(
             feats, np.stack(again.sort_values("media_id")["feature"].to_numpy())
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_neardup_pairs_finds_planted(tmp_path):
+    """Planted near-identical vectors share a hyperplane bucket w.h.p. and
+    must surface as a pair; the exported assignment parquet exists for
+    oracle replay."""
+    import os
+
+    import ray.data as rd
+
+    from oplogtoredis_ray.pipelines.similarity import lsh_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((200, 16))
+    M[150] = M[3] + 1e-4 * rng.standard_normal(16)  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.ravel(), type=pa.float64()), 16
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    out_dir = str(tmp_path / "oracle")
+    pairs = lsh_neardup_pairs(
+        rd.from_arrow(tbl), num_planes=4, threshold=0.9, materialize_dir=out_dir
+    ).to_pandas()
+    got = {tuple(p) for p in pairs[["a_id", "b_id"]].to_numpy()}
+    assert (3, 150) in got
+    assert os.path.isdir(os.path.join(out_dir, "lsh_assign"))
+    # canonical ordering
+    assert (pairs["a_id"] < pairs["b_id"]).all()

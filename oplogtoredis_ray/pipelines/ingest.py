@@ -252,6 +252,7 @@ def run_follow(
             continue
         idle = 0
         total.windows_run += res.windows_run
+        total.windows_skipped += res.windows_skipped
         total.events_in += res.events_in
         total.dupes_dropped += res.dupes_dropped
         total.below_watermark += res.below_watermark

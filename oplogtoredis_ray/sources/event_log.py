@@ -42,6 +42,25 @@ def _log_files(log_dir: str) -> list[str]:
     return files
 
 
+# per-window schema probing is driver-side serial footer IO; a windowed run
+# re-reads the SAME immutable files every window, so cache the per-file
+# schema keyed on (path, mtime_ns, size) — appended/rewritten files (follow
+# mode) miss the cache and re-probe
+_SCHEMA_CACHE: dict[tuple[str, int, int], tuple[str, ...]] = {}
+
+
+def _file_schema_names(f: str) -> tuple[str, ...]:
+    st = os.stat(f)
+    key = (f, st.st_mtime_ns, st.st_size)
+    names = _SCHEMA_CACHE.get(key)
+    if names is None:
+        names = tuple(pq.read_schema(f).names)
+        _SCHEMA_CACHE[key] = names
+        if len(_SCHEMA_CACHE) > 65536:  # bound for long follow sessions
+            _SCHEMA_CACHE.clear()
+    return names
+
+
 def unified_schema(log_dir: str) -> pa.Schema:
     """Metadata-only scan: unify all fragment schemas (missing columns become
     nullable)."""
@@ -127,13 +146,15 @@ def read_event_window(
     """
     import ray.data as rd
 
-    schema = unified_schema(log_dir)
-    want = columns or [c for c in EVENT_COLUMNS if c in schema.names]
-
+    # one cached footer probe per file gives both the schema groups and the
+    # unified column-name set (types unify downstream in the parse stage)
     groups: dict[tuple[str, ...], list[str]] = {}
+    all_names: set[str] = set()
     for f in _log_files(log_dir):
-        names = tuple(pq.read_schema(f).names)
+        names = _file_schema_names(f)
+        all_names.update(names)
         groups.setdefault(names, []).append(f)
+    want = columns or [c for c in EVENT_COLUMNS if c in all_names]
 
     flt = window_filter(start_us, end_us)
     total_files = sum(len(f) for f in groups.values())

@@ -179,3 +179,52 @@ def test_delta_custom_payload_cols_roundtrip(tmp_path):
     latest = snap["partitions"][0]["file"]
     got = pq.read_table(f"{dest}/{latest}").to_pandas()
     assert got.iloc[0]["meta"] == "M2" and got.iloc[0]["text"] == "c"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gc_concurrent_with_delta_ingest_preserves_correctness(tmp_path):
+    """GC running WHILE a multi-window delta ingest commits must never
+    delete a live chain link: final state equals the sequential oracle and
+    every manifest chain file still exists (bench runs this shape for
+    timing; this is the correctness assertion behind it)."""
+    import os
+    import threading
+
+    from oplogtoredis_ray.sources.event_log import log_ts_bounds
+    from oplogtoredis_ray.state.gc import collect_garbage
+    from oplogtoredis_ray.state.manifest import read_all_manifests
+
+    spec = GeneratorSpec(seed=21, n_conversations=80, mean_turns=4, duplicate_rate=0.03)
+    log = generate_event_log(spec)
+    log_dir = str(tmp_path / "events")
+    write_event_log(log, log_dir)
+    lake = str(tmp_path / "lake")
+    lo, hi = log_ts_bounds(log_dir)
+    cfg = PipelineConfig(
+        num_partitions=4,
+        window_us=(hi - lo) // 6 + 1,
+        state_mode="delta",
+        compact_threshold=2,  # force compactions mid-run
+    )
+    stop = threading.Event()
+    removed = []
+
+    def gc_loop():
+        while not stop.wait(0.2):
+            removed.extend(collect_garbage(lake, grace_seconds=0.5))
+
+    t = threading.Thread(target=gc_loop, daemon=True)
+    t.start()
+    res = run_ingest(log_dir, lake, cfg)
+    stop.set()
+    t.join()
+    assert res.windows_run >= 6
+    # every live chain link survived the concurrent GC
+    for m in read_all_manifests(lake):
+        for rel in m.chain():
+            assert os.path.exists(os.path.join(lake, rel)), rel
+    got = read_lake(lake).to_pandas()
+    got["ts"] = got["ts"].astype("int64")
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = oracle_apply(log)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -151,3 +151,38 @@ def test_http_mutation_flips_running_ingest(tmp_path):
     assert by_conv["keep"] == [0, 1]
     assert by_conv["flip"] == [0]  # second window filtered via HTTP
     srv.shutdown()
+
+
+def test_serve_cli_smoke(tmp_path):
+    """`python -m oplogtoredis_ray serve` binds, reports its address, and
+    answers the control-plane routes (no Ray session needed)."""
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    lake = str(tmp_path / "lake")
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "oplogtoredis_ray", "serve", "--lake", lake,
+         "--port", str(port)],
+        cwd="/root/repo", stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        assert json.loads(line)["listening"][1] == port
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(50):
+            try:
+                code, _ = _req(base, "/healthz")
+                break
+            except OSError:
+                time.sleep(0.1)
+        assert code == 200
+        assert _req(base, "/denylist/x", "PUT")[0] == 201
+        assert json.loads(_req(base, "/denylist")[1]) == ["x"]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

@@ -976,6 +976,55 @@ def _bpe_sql_pattern() -> str:
     return BPE_ISH_PATTERN.replace("'", "''")
 
 
+def _sql_wordlist(words) -> str:
+    return ", ".join("'" + w + "'" for w in sorted(words))
+
+
+def _text_stats_sql() -> str:
+    """text_stats oracle generated from the SAME word-profile constants the
+    Ray stage uses (single source of truth): token counts, punctuation and
+    stopword quality signals, profile-scored language ID with the stage's
+    exact tie-break order."""
+    from oplogtoredis_ray.stages.text import LANG_PROFILES, STOPWORDS
+
+    score_cols = ",\n                   ".join(
+        f"len(list_filter(arr, x -> x IN ({_sql_wordlist(words)}))) AS s_{name}"
+        for name, words in LANG_PROFILES
+    )
+    names = [name for name, _ in LANG_PROFILES]
+    # argmax with first-max-wins tie-break, all-zero → 'other'
+    branches = []
+    for i, name in enumerate(names):
+        geq = " AND ".join(f"s_{name} >= s_{other}" for other in names[i + 1 :])
+        cond = f"s_{name} > 0" + (f" AND {geq}" if geq else "")
+        branches.append(f"WHEN {cond} THEN '{name}'")
+    lang_case = "CASE " + " ".join(branches) + " ELSE 'other' END"
+    return f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents),
+            s AS (
+              SELECT doc_id, text, arr,
+                   len(list_filter(arr, x -> x IN ({_sql_wordlist(STOPWORDS)}))) AS n_stop,
+                   {score_cols}
+              FROM t)
+            SELECT doc_id,
+                   CAST(len(arr) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}')) AS BIGINT) AS n_tokens_bpe,
+                   CAST(length(text) AS BIGINT) AS n_chars_txt,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(n_stop AS BIGINT) AS n_stopwords,
+                   CAST((10 * n_stop) // GREATEST(len(arr), 1) AS BIGINT) AS stopword_bucket,
+                   CAST((10 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+                        // GREATEST(length(text), 1) AS BIGINT) AS quality_bucket,
+                   {lang_case} AS lang_pred,
+                   substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+            FROM s
+        """
+
+
 def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
     synth = _synth_glob_sql(sf_name)
     od = os.path.join(ORACLE_ROOT, sf_name)
@@ -1072,18 +1121,7 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY 1, 2
         """,
-        "text_stats": f"""
-            SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}')) AS BIGINT) AS n_tokens_bpe,
-                   CAST(length(text) AS BIGINT) AS n_chars_txt,
-                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
-                   CAST((10 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
-                        // GREATEST(length(text), 1) AS BIGINT) AS quality_bucket,
-                   CASE WHEN contains(text, ' the ') THEN 'en' ELSE 'other' END AS lang_pred,
-                   substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
-            FROM documents
-        """,
+        "text_stats": _text_stats_sql(),
         "dedup_exact_docs": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                    CAST(COUNT(*) AS BIGINT) AS dup_count

@@ -66,6 +66,75 @@ def lang_id_en(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.if_else(has_the, pa.scalar("en"), pa.scalar("other"))
 
 
+# function-word (1-gram) profiles for the vectorized language-ID scorer —
+# ordered: ties break toward the earlier language, zero hits → "other".
+# Shared with the SQL oracle generator (single source of truth).
+LANG_PROFILES: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "to", "in", "is", "you", "that", "it", "for")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")),
+    ("fr", ("le", "les", "et", "est", "que", "pour", "dans", "une", "vous", "je")),
+    ("es", ("el", "los", "y", "es", "que", "para", "con", "una", "por", "como")),
+]
+
+# English stopword set for the quality-signal ratio (25 most common)
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "is", "are", "was", "be", "it", "that", "this", "for", "with", "as",
+    "by", "from", "you", "i",
+)
+
+
+def _token_lists(text: pa.ChunkedArray | pa.Array):
+    """(flat lowercase tokens, parent doc index per token, n_docs) — one
+    split shared by the stopword and language scorers."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    return flat, parents, len(text)
+
+
+def _segment_count(mask: pa.Array, parents: np.ndarray, n_docs: int) -> np.ndarray:
+    hits = mask.to_numpy(zero_copy_only=False)
+    out = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(out, parents[hits], 1)
+    return out
+
+
+def stopword_counts(flat, parents, n_docs: int) -> np.ndarray:
+    """Per-doc count of tokens in the English stopword set (vectorized
+    flatten → is_in → segment-sum)."""
+    mask = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))
+    return _segment_count(mask, parents, n_docs)
+
+
+def lang_scores(flat, parents, n_docs: int) -> np.ndarray:
+    """(n_docs, n_langs) function-word hit counts per language profile."""
+    out = np.empty((n_docs, len(LANG_PROFILES)), dtype=np.int64)
+    for j, (_, words) in enumerate(LANG_PROFILES):
+        mask = pc.is_in(flat, value_set=pa.array(sorted(words)))
+        out[:, j] = _segment_count(mask, parents, n_docs)
+    return out
+
+
+def lang_id_ngram(flat, parents, n_docs: int) -> pa.Array:
+    """Profile-scored language ID: argmax of function-word hits with
+    fixed-order tie-break; zero hits everywhere → ``other``."""
+    scores = lang_scores(flat, parents, n_docs)
+    best = np.argmax(scores, axis=1)  # first max wins = profile order
+    labels = np.array([name for name, _ in LANG_PROFILES], dtype=object)
+    pred = labels[best]
+    pred[scores.max(axis=1) == 0] = "other"
+    return pa.array(pred, type=pa.string())
+
+
+def punct_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Characters that are neither alphanumeric nor whitespace per doc."""
+    stripped = pc.replace_substring_regex(text, r"[A-Za-z0-9\s]", "")
+    return pc.utf8_length(stripped)
+
+
 class TextStats:
     """Actor-pool stage: per-doc token/char/alpha counts, quality bucket,
     language guess, and a stable 64-bit-hex fingerprint of the normalized
@@ -87,6 +156,12 @@ class TextStats:
         bucket = np.where(chars_np > 0, (10 * alpha_np) // np.maximum(chars_np, 1), 0)
         texts = text.to_pylist()
         fp = [hashlib.md5(normalize_text(t).encode()).hexdigest()[:16] for t in texts]
+        flat, parents, n_docs = _token_lists(text)
+        n_stop = stopword_counts(flat, parents, n_docs)
+        # integer stopword-ratio bucket 0..10 (quality signal: natural prose
+        # sits around 3-6; keyword spam near 0)
+        tok_np = pc.cast(n_tok, pa.int64()).to_numpy(zero_copy_only=False)
+        stop_bucket = np.where(tok_np > 0, (10 * n_stop) // np.maximum(tok_np, 1), 0)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -94,8 +169,11 @@ class TextStats:
                 "n_tokens_bpe": bpe_ish_counts(text),
                 "n_chars_txt": pc.cast(n_chars, pa.int64()),
                 "n_alpha": pc.cast(n_alpha, pa.int64()),
+                "n_punct": pc.cast(punct_counts(text), pa.int64()),
+                "n_stopwords": pa.array(n_stop, type=pa.int64()),
+                "stopword_bucket": pa.array(stop_bucket, type=pa.int64()),
                 "quality_bucket": pa.array(bucket, type=pa.int64()),
-                "lang_pred": lang_id_en(text),
+                "lang_pred": lang_id_ngram(flat, parents, n_docs),
                 "fp": pa.array(fp, type=pa.string()),
             }
         )

@@ -321,3 +321,42 @@ def test_lsh_neardup_pairs_finds_planted(tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "lsh_assign"))
     # canonical ordering
     assert (pairs["a_id"] < pairs["b_id"]).all()
+
+
+class TestLangIDAndQuality:
+    def test_lang_id_ngram_profiles(self):
+        from oplogtoredis_ray.stages.text import _token_lists, lang_id_ngram
+
+        docs = pa.array(
+            [
+                "the cat sat and it is that for you to see",
+                "der Hund ist nicht mit der Katze und das ist gut",
+                "le chat est dans la maison et je vous aime pour cela",
+                "el perro es para los gatos y como una casa por ahora",
+                "zzz qqq xxx",  # no profile hits → other
+            ]
+        )
+        flat, parents, n = _token_lists(docs)
+        pred = lang_id_ngram(flat, parents, n).to_pylist()
+        assert pred == ["en", "de", "fr", "es", "other"]
+
+    def test_stopword_and_punct_columns(self):
+        from oplogtoredis_ray.stages.text import TextStats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "The cat and the dog, in a house!",
+                        "buy cheap pills now!!! $$$ click click",
+                    ]
+                ),
+            }
+        )
+        out = TextStats()(t)
+        # doc 0: stopwords the,and,the,in,a → 5 of 8 tokens → bucket 6
+        assert out["n_stopwords"].to_pylist() == [5, 0]
+        assert out["stopword_bucket"].to_pylist() == [6, 0]
+        # punctuation: ",!" → 2; "!!!" + "$$$" → 6
+        assert out["n_punct"].to_pylist() == [2, 6]

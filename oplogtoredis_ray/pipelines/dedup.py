@@ -387,8 +387,11 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_dir: str | None = None,
-) -> pd.DataFrame:
-    """Near-dup pairs within shared prefix buckets at Hamming ≤ max.
+):
+    """Near-dup pairs within shared prefix buckets at Hamming ≤ max,
+    returned as a DATASET (the pair list is bucket-bounded but still
+    corpus-scaled — it must never be forced onto the driver by the
+    operator itself).
 
     Pairs are canonical (``a_id < b_id``).  ``materialize_dir`` exports the
     (doc_id, simhash, bucket) signature table as parquet for external
@@ -410,8 +413,4 @@ def simhash_dedup(
             {"a_id": ids[a][keep], "b_id": ids[b][keep], "hamming": dist[keep]}
         )
 
-    return (
-        sigs.groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    return sigs.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

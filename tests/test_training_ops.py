@@ -73,7 +73,7 @@ class TestDedup:
         import ray.data as rd
 
         df = _docs_with_near_dups()
-        pairs = simhash_dedup(rd.from_pandas(df), hamming_max=6)
+        pairs = simhash_dedup(rd.from_pandas(df), hamming_max=6).to_pandas()
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["a_id"], pairs["b_id"])}
         assert (5, 42) in got or (42, 43) in got  # identical docs → hamming 0
 

@@ -3,6 +3,29 @@
 The reference's only user-extension surface is ~20 env vars
 (/root/reference/lib/config/main.go:13-36); we keep the same idea as a
 dataclass.  Each field cites the reference knob it generalizes.
+
+Complete env-var parity map (lib/config/main.go:13-36 → here):
+
+| OTR_* env var                     | here |
+|-----------------------------------|------|
+| MONGO_URL                         | ``log_dir`` argument (the source) |
+| REDIS_URL                         | ``lake_root`` argument (the sink) |
+| HTTP_SERVER_ADDR                  | CLI ``serve --port`` / ``follow --http-port`` |
+| BUFFER_SIZE                       | Ray streaming-executor backpressure (K1, by design) |
+| TIMESTAMP_FLUSH_INTERVAL          | ``window_us`` (checkpoint granularity) |
+| MAX_CATCH_UP                      | ``max_catch_up_us`` |
+| REDIS_DEDUPE_EXPIRATION           | TTL-free watermark dedup (deliberate upgrade: replay of any age is safe) |
+| REDIS_METADATA_PREFIX             | lake directory layout (``manifests/``, ``lake/p=*``) |
+| MONGO_CONNECT/QUERY_TIMEOUT       | n/a (local/remote FS IO; Arrow reader timeouts) |
+| OPLOG_V2_EXTRACT_SUBFIELD_CHANGES | ``v2_deep`` |
+| WRITE_PARALLELISM                 | ``num_partitions`` (decoupled from cluster size — see below) |
+| READ_PARALLELISM                  | ``read_blocks`` |
+| PG_PERSISTENCE_URL                | durable denylist store (always-on JSON under the lake root) |
+| SENTRY_*                          | n/a — error channel is the dead-letter parquet + logging |
+| RESUME_TS_READ_RETRIES            | ``resume_read_retries`` |
+| RESUME_TS_READ_RETRY_DELAY        | ``resume_read_retry_delay_s`` |
+| RESUME_FROM_END_ON_FAILURE        | ``resume_from_end_on_failure`` |
+| REDIS_BATCH_SIZE                  | ``batch_size`` |
 """
 
 from __future__ import annotations

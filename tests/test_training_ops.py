@@ -360,3 +360,54 @@ class TestLangIDAndQuality:
         assert out["stopword_bucket"].to_pylist() == [6, 0]
         # punctuation: ",!" → 2; "!!!" + "$$$" → 6
         assert out["n_punct"].to_pylist() == [2, 6]
+
+
+class TestCodecProperties:
+    """Property-based roundtrips: any valid image/clip shape survives
+    encode→decode bit-exactly (stride padding, bottom-up rows, channel
+    interleave all exercised by random shapes)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_ppm_roundtrip_any_shape(self, h, w, seed):
+        from oplogtoredis_ray.functions.codecs import decode_ppm, encode_ppm
+
+        img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_bmp_roundtrip_any_shape(self, h, w, seed):
+        from oplogtoredis_ray.functions.codecs import decode_bmp, encode_bmp
+
+        img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @given(
+        n=st.integers(1, 400), ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_wav_roundtrip_any_clip(self, n, ch, rate, seed):
+        from oplogtoredis_ray.functions.codecs import (
+            decode_wav, encode_wav, wav_sample_rate,
+        )
+
+        clip = (
+            np.random.default_rng(seed)
+            .integers(-32768, 32767, (n, ch))
+            .astype(np.int16)
+        )
+        payload = encode_wav(clip, rate=rate)
+        assert np.array_equal(decode_wav(payload), clip)
+        assert wav_sample_rate(payload) == rate

@@ -100,6 +100,14 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
         times.append(time.perf_counter() - t0)
         shutil.rmtree(lake_root, ignore_errors=True)
     best = min(times)
+    # per-stage execution stats of the last headline window → BENCH artifact
+    from oplogtoredis_ray.pipelines import ingest as _ingest
+
+    if _ingest.LAST_WINDOW_EXEC_STATS:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "stats_headline.txt"), "w") as f:
+            f.write(_ingest.LAST_WINDOW_EXEC_STATS)
     return {
         "sec": round(best, 3),
         "times": [round(t, 3) for t in times],

@@ -113,6 +113,11 @@ def window_id_for(start_us: int, end_us: int) -> str:
     return f"w{start_us}-{end_us}"
 
 
+# Ray Data execution stats of the most recent window (read → parse →
+# shuffle → apply), for bench artifacts and stage-level tuning
+LAST_WINDOW_EXEC_STATS: str | None = None
+
+
 def run_window(
     log_dir: str,
     lake_root: str,
@@ -213,6 +218,8 @@ def run_window(
         stats = stats_ds.to_pandas()
     finally:
         ctx.max_errored_blocks = prev_errored
+    global LAST_WINDOW_EXEC_STATS
+    LAST_WINDOW_EXEC_STATS = stats_ds.stats()  # Ray per-stage execution stats
     if len(stats) == 0:
         stats = empty_stats()
     return stats

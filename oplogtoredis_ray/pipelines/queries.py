@@ -126,6 +126,7 @@ def ensure_oracle_intermediates(sf_dir: str) -> None:
     q_simhash_pairs(sf_dir)
     q_ivf_topk(sf_dir)
     q_neardup_lsh(sf_dir).materialize()
+    q_curate_corpus(sf_dir).materialize()
 
 
 # --- query implementations ---------------------------------------------------
@@ -596,6 +597,17 @@ def q_neardup_lsh(sf_dir: str):
     )
 
 
+def q_curate_corpus(sf_dir: str):
+    """The training-data curation composite (pipelines/curate.py): enrich →
+    quality/lang filter → exact dedup → materialized survivors → MinHash
+    near-dup drop → (doc_id, n_tokens).  Every stage SQL-verified; the
+    near-dup derivation replays from the run's own MinHash exports."""
+    from oplogtoredis_ray.pipelines.curate import curate_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return curate_corpus(ds, work_dir=_oracle_dir(sf_dir))
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clustering.  The band-bucket signature rows and
     per-doc shingle-hash sets are exported as parquet, so the oracle SQL
@@ -950,6 +962,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_embeddings": q_neardup_embeddings,
     "neardup_lsh": q_neardup_lsh,
+    "curate_corpus": q_curate_corpus,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "change_records": q_change_records,
@@ -978,6 +991,94 @@ def _bpe_sql_pattern() -> str:
 
 def _sql_wordlist(words) -> str:
     return ", ".join("'" + w + "'" for w in sorted(words))
+
+
+def _minhash_ctes(base: str) -> str:
+    """The MinHash-LSH derivation as a reusable CTE chain reading the
+    exported intermediates under ``base``: capped candidate pairs per band
+    bucket → exact-Jaccard verification on identical shingle hashes →
+    undirected edge list (feeds a recursive connected-components walk)."""
+    return f"""sig AS (SELECT DISTINCT band_id, band_bucket, doc_id
+                    FROM read_parquet('{base}/minhash_sigs/*.parquet')),
+            ranked AS (
+              SELECT band_id, band_bucket, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY band_id, band_bucket
+                                        ORDER BY doc_id) AS rn
+              FROM sig),
+            capped AS (SELECT * FROM ranked WHERE rn <= 50),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM capped a JOIN capped b
+                ON a.band_id = b.band_id AND a.band_bucket = b.band_bucket
+               AND a.doc_id < b.doc_id),
+            sh AS (SELECT DISTINCT doc_id, h
+                   FROM read_parquet('{base}/minhash_shingles/*.parquet')),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT p.a_id, p.b_id, COUNT(*) AS i
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.a_id
+              JOIN sh b ON b.doc_id = p.b_id AND b.h = a.h
+              GROUP BY 1, 2),
+            verified AS (
+              SELECT i.a_id, i.b_id
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE i.i * 10 >= 8 * (sa.n + sb.n - i.i)),
+            edges AS (SELECT a_id AS s, b_id AS d FROM verified
+                      UNION ALL
+                      SELECT b_id, a_id FROM verified)"""
+
+
+def _curate_sql(od: str) -> str:
+    """curate_corpus oracle: enrich (generated from the same text-kernel
+    constants) → quality/lang filter → exact dedup → near-dup drop replayed
+    from the curate run's own MinHash exports → (doc_id, n_tokens)."""
+    from oplogtoredis_ray.stages.text import LANG_PROFILES
+
+    score_cols = ",\n                   ".join(
+        f"len(list_filter(arr, x -> x IN ({_sql_wordlist(words)}))) AS s_{name}"
+        for name, words in LANG_PROFILES
+    )
+    names = [name for name, _ in LANG_PROFILES]
+    branches = []
+    for i, name in enumerate(names):
+        geq = " AND ".join(f"s_{name} >= s_{other}" for other in names[i + 1 :])
+        cond = f"s_{name} > 0" + (f" AND {geq}" if geq else "")
+        branches.append(f"WHEN {cond} THEN '{name}'")
+    lang_case = "CASE " + " ".join(branches) + " ELSE 'other' END"
+    return f"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, text,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+                  FROM documents),
+            s AS (SELECT doc_id, text, arr,
+                   len(arr) AS n_tokens,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                   length(text) AS n_chars,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+                   {score_cols}
+                  FROM t),
+            q AS (SELECT doc_id, n_tokens, content_hash,
+                   (10 * n_alpha) // GREATEST(n_chars, 1) AS quality_bucket,
+                   {lang_case} AS lang_pred
+                  FROM s),
+            f AS (SELECT * FROM q WHERE quality_bucket >= 5 AND lang_pred = 'en'),
+            surv AS (SELECT doc_id, n_tokens FROM f
+                     QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash
+                                                ORDER BY doc_id) = 1),
+            {_minhash_ctes(od + "/curate")},
+            walk(id, comp) AS (
+              SELECT doc_id, doc_id FROM surv
+              UNION
+              SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+            cl AS (SELECT id AS doc_id, MIN(comp) AS cluster_id
+                   FROM walk GROUP BY id)
+            SELECT surv.doc_id, CAST(surv.n_tokens AS BIGINT) AS n_tokens
+            FROM surv JOIN cl ON cl.doc_id = surv.doc_id
+            WHERE cl.cluster_id = cl.doc_id
+        """
 
 
 def _text_stats_sql() -> str:
@@ -1226,37 +1327,7 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
         # SQL replays every downstream derivation from those identical values
         "minhash_dedup": f"""
             WITH RECURSIVE
-            sig AS (SELECT DISTINCT band_id, band_bucket, doc_id
-                    FROM read_parquet('{od}/minhash_sigs/*.parquet')),
-            ranked AS (
-              SELECT band_id, band_bucket, doc_id,
-                     ROW_NUMBER() OVER (PARTITION BY band_id, band_bucket
-                                        ORDER BY doc_id) AS rn
-              FROM sig),
-            capped AS (SELECT * FROM ranked WHERE rn <= 50),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              FROM capped a JOIN capped b
-                ON a.band_id = b.band_id AND a.band_bucket = b.band_bucket
-               AND a.doc_id < b.doc_id),
-            sh AS (SELECT DISTINCT doc_id, h
-                   FROM read_parquet('{od}/minhash_shingles/*.parquet')),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-            inter AS (
-              SELECT p.a_id, p.b_id, COUNT(*) AS i
-              FROM pairs p
-              JOIN sh a ON a.doc_id = p.a_id
-              JOIN sh b ON b.doc_id = p.b_id AND b.h = a.h
-              GROUP BY 1, 2),
-            verified AS (
-              SELECT i.a_id, i.b_id
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.a_id
-              JOIN sizes sb ON sb.doc_id = i.b_id
-              WHERE i.i * 10 >= 8 * (sa.n + sb.n - i.i)),
-            edges AS (SELECT a_id AS s, b_id AS d FROM verified
-                      UNION ALL
-                      SELECT b_id, a_id FROM verified),
+            {_minhash_ctes(od)},
             walk(id, comp) AS (
               SELECT doc_id, doc_id FROM documents
               UNION
@@ -1264,6 +1335,7 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
         """,
+        "curate_corpus": _curate_sql(od),
         "simhash_pairs": f"""
             WITH s AS (SELECT doc_id, simhash, bucket
                        FROM read_parquet('{od}/simhash_sigs/*.parquet'))

@@ -411,3 +411,44 @@ class TestCodecProperties:
         payload = encode_wav(clip, rate=rate)
         assert np.array_equal(decode_wav(payload), clip)
         assert wav_sample_rate(payload) == rate
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_corpus_composite(tmp_path):
+    """The curation composite end-to-end on planted docs: low-quality and
+    non-English docs filtered, exact dups collapsed, near-dups dropped,
+    survivors keep their token counts."""
+    import ray.data as rd
+
+    from oplogtoredis_ray.pipelines.curate import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is that kind "
+        "of day for you to see the plain rain in spain falling mainly"
+    )
+    docs = [
+        good,                                  # 0: survives
+        good,                                  # 1: exact dup of 0 → dropped
+        good + " extra trailing words here",   # 2: near-dup of 0 → dropped
+        "der Hund ist nicht mit der Katze und das ist gut so heute",  # 3: lang != en
+        "!!! ### $$$ %%% ^^^ &&& *** ((( )))",  # 4: quality_bucket ≈ 0
+        "every good boy deserves fudge and the cat sat on the mat today "
+        "while it is sunny outside for a walk in the park with friends",  # 5: survives
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    out = (
+        curate_corpus(
+            rd.from_pandas(df),
+            work_dir=str(tmp_path / "work"),
+            jaccard_threshold=0.5,
+            shingle_k=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 5]
+    assert out["n_tokens"].tolist() == [len(good.split()), len(docs[5].split())]
+    import os
+
+    assert os.path.isdir(str(tmp_path / "work" / "curate_survivors"))

@@ -162,6 +162,7 @@ def _run_bench() -> None:
         "simhash_pairs",
         "neardup_lsh",
         "ngram_jaccard",
+        "curate_corpus",
         "change_records",
         "partition_assign",
         "sessionize",

@@ -101,11 +101,34 @@ def curate_corpus(
 
     filtered = enriched.map_batches(keep, batch_format="pyarrow")
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    # coarse-bucket exchange + vectorized in-task dedup: grouping directly
+    # on content_hash would make Ray dispatch one UDF per (corpus-sized)
+    # group — the exchange key is hash-bucket, the exact dedup is a
+    # vectorized drop_duplicates inside the task
+    from oplogtoredis_ray.pipelines.dedup import NUM_COARSE_BUCKETS
 
-    survivors = filtered.groupby("content_hash").map_groups(
-        first_per_hash, batch_format="pandas"
+    def add_hash_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hb = pd.util.hash_pandas_object(
+            pd.Series(t["content_hash"].to_pylist()), index=False
+        ).to_numpy()
+        return t.append_column(
+            "hash_bucket",
+            pa.array((hb % NUM_COARSE_BUCKETS).astype(np.int64), type=pa.int64()),
+        )
+
+    def first_per_hash(g):
+        return (
+            g.sort_values(id_col, kind="mergesort")
+            .drop_duplicates("content_hash", keep="first")
+            .drop(columns=["hash_bucket"])
+        )
+
+    survivors = (
+        filtered.map_batches(add_hash_bucket, batch_format="pyarrow")
+        .groupby("hash_bucket")
+        .map_groups(first_per_hash, batch_format="pandas")
     )
 
     surv_dir = os.path.join(work_dir, "curate_survivors")

@@ -561,20 +561,69 @@ def q_ngram_jaccard(sf_dir: str):
         dict(zip(sizes_pd["doc_id"].astype(int), sizes_pd["n"].astype(int)))
     )
 
-    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique()).astype(np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a_id": pd.array([], dtype="int64"), "b_id": pd.array([], dtype="int64")}
-            )
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
+    # two-level grouping: the distributed exchange groups on a coarse
+    # deterministic gram-hash bucket; the task segments its block by exact
+    # gram and pairs within segments — same pair multiset, ~1000× fewer
+    # per-group UDF dispatches than groupby("gram") over tiny groups
+    NUM_GRAM_BUCKETS = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["gram"].to_pylist()), index=False
+        ).to_numpy()  # fixed-key siphash: deterministic across processes
+        return t.append_column(
+            "bucket",
+            pa.array((h % NUM_GRAM_BUCKETS).astype(np.int64), type=pa.int64()),
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["gram", "doc_id"], kind="mergesort")
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        grams = df["gram"].to_numpy()
+        change = np.nonzero(grams[1:] != grams[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(ids)]])
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, k=1)
+            a_out.append(ids[s:e][ai])
+            b_out.append(ids[s:e][bi])
+        a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+        b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+        # pair-coarse key for the count exchange (doc ids < 2^31 packed)
+        return pd.DataFrame(
+            {
+                "a_id": a,
+                "b_id": b,
+                "pair_bucket": ((a << 32) | b) % NUM_GRAM_BUCKETS,
+            }
+        )
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # per-coarse-bucket pair counting via np.unique — Ray's groupby
+        # AGGREGATE over high-cardinality keys does per-group work
+        # (measured 60s for 190k groups); a 64-way coarse exchange with
+        # vectorized in-task counting is the scalable shape
+        packed = (g["a_id"].to_numpy(dtype=np.int64) << 32) | g["b_id"].to_numpy(
+            dtype=np.int64
+        )
+        keys, counts = np.unique(packed, return_counts=True)
+        return pd.DataFrame(
+            {
+                "a_id": keys >> 32,
+                "b_id": keys & 0xFFFFFFFF,
+                "inter": counts.astype(np.int64),
+            }
+        )
 
     pair_counts = (
-        gram_rows.groupby("gram")
-        .map_groups(pairs_in_gram, batch_format="pandas")
-        .groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="inter"))
+        gram_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(count_pairs, batch_format="pandas")
     )
     return pair_counts.map_batches(
         _JaccardFilter,

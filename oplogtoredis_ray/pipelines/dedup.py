@@ -478,7 +478,12 @@ def simhash_dedup(
     verification / reuse."""
     sigs = ds.map_batches(SimHashStage(text_col, id_col), batch_format="pyarrow")
     if materialize_dir:
-        _rewrite_parquet(sigs, os.path.join(materialize_dir, "simhash_sigs"))
+        sig_dir = os.path.join(materialize_dir, "simhash_sigs")
+        _rewrite_parquet(sigs, sig_dir)
+        # downstream consumes the export instead of recomputing signatures
+        import ray.data as rd
+
+        sigs = rd.read_parquet(sig_dir)
 
     def add_coarse(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -228,6 +228,10 @@ def _windowed_delta_run(sf_dir: str, n_events: int, reps: int = 1) -> dict:
         window_us=(hi - lo) // 8 + 1,
         state_mode="delta",
         compact_threshold=4,
+        # overlap window N+1's read+parse with window N's shuffle+apply
+        # (apply order — and exactly-once — unchanged); measured 28.8→21.8 s
+        # at 32 cpus and 67.5→33.3 s at 8 cpus on the 8-window sf0.1 run
+        window_lookahead=True,
     )
     best = None
     for _ in range(reps):

@@ -121,6 +121,14 @@ class PipelineConfig:
     resume_read_retries: int = 5
     resume_read_retry_delay_s: float = 0.5
     resume_from_end_on_failure: bool = False
+    # window lookahead: prefetch + materialize the NEXT window's stateless
+    # half (read → parse → salt tag) while the current window's shuffle +
+    # apply runs.  The apply order stays strictly sequential (exactly-once
+    # unchanged; a crash discards prefetched data and the window replays).
+    # Trade-off: the parse-time denylist snapshot is taken at prefetch time,
+    # so runtime denylist mutations take effect one window later than with
+    # lookahead off (the default).
+    window_lookahead: bool = False
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

@@ -118,16 +118,50 @@ def window_id_for(start_us: int, end_us: int) -> str:
 LAST_WINDOW_EXEC_STATS: str | None = None
 
 
-def run_window(
+def _stabilize_lazy_imports() -> None:
+    """Concurrent dataset creation (window lookahead) can race the FIRST
+    import of Ray's lazily-imported optional deps.  In this environment
+    ``fsspec.implementations.http`` fails to import (no aiohttp) — serial
+    imports raise a ModuleNotFoundError Ray catches, but a concurrent first
+    import can observe the half-initialized module as an uncaught
+    ImportError.  Make the state terminal up front: if the real module is
+    unavailable, register a stub exposing an ``HTTPFileSystem`` class
+    nothing will ever be an instance of."""
+    import sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import types
+
+    stub = types.ModuleType("fsspec.implementations.http")
+    stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules["fsspec.implementations.http"] = stub
+
+
+def _retry_args(cfg: PipelineConfig) -> dict:
+    # explicit retry budget (≙ publisher.go:228-253): transient failures
+    # retried in place; the permanent-failure cutoff is enforced by
+    # max_errored_blocks at execution time
+    return {
+        "max_retries": cfg.task_max_retries,
+        "retry_exceptions": cfg.retry_exceptions,
+    }
+
+
+def build_window_dataset(
     log_dir: str,
     lake_root: str,
     cfg: PipelineConfig,
     start_us: int,
     end_us: int,
-) -> pd.DataFrame:
-    """Run one window as a single streaming Dataset pipeline; returns the
-    per-partition stats frame (small)."""
-    wid = window_id_for(start_us, end_us)
+):
+    """The stateless half of a window: read → parse (→ salt tag).  Depends
+    on NO lake state (dedup/fold happen in the apply phase), so it can be
+    built — and even materialized — ahead of the preceding window's apply
+    (window lookahead)."""
     blocks = cfg.read_blocks
     if blocks is None:
         import ray
@@ -135,12 +169,10 @@ def run_window(
         blocks = 2 * int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 16
     # permanent-failure cutoff: Ray snapshots the DataContext when the
     # Dataset is CREATED, so the errored-block budget must be set before the
-    # read is declared (restored after execution below)
+    # read is declared
     from ray.data.context import DataContext
 
-    ctx = DataContext.get_current()
-    prev_errored = ctx.max_errored_blocks
-    ctx.max_errored_blocks = cfg.max_errored_blocks
+    DataContext.get_current().max_errored_blocks = cfg.max_errored_blocks
     ds = read_event_window(log_dir, start_us, end_us, override_num_blocks=blocks)
     deadletter = f"{lake_root}/errors" if cfg.errors_to_deadletter else None
     # stateless tasks: with the vectorized poly64 partition hash the stage
@@ -149,19 +181,49 @@ def run_window(
     parse_kwargs: dict = {}
     if cfg.parse_concurrency is not None:
         parse_kwargs["concurrency"] = cfg.parse_concurrency
-    # explicit retry budget (≙ publisher.go:228-253): transient failures
-    # retried in place; the permanent-failure cutoff is enforced by
-    # max_errored_blocks at execution time below
-    retry_args = {
-        "max_retries": cfg.task_max_retries,
-        "retry_exceptions": cfg.retry_exceptions,
-    }
     ds = ds.map_batches(
         ParseStage(cfg, deadletter, emit_changed_fields=False),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        **retry_args,
+        **_retry_args(cfg),
         **parse_kwargs,
+    )
+    if cfg.distributed_salt_buckets > 1:
+        import numpy as np
+        import pyarrow as pa
+
+        S = cfg.distributed_salt_buckets
+        span = max((end_us - start_us) // S + 1, 1)
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            salt = ((ts - start_us) // span).astype(np.int32)
+            return t.append_column("salt", pa.array(salt))
+
+        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+    return ds
+
+
+def run_window(
+    log_dir: str,
+    lake_root: str,
+    cfg: PipelineConfig,
+    start_us: int,
+    end_us: int,
+    pre_ds=None,
+) -> pd.DataFrame:
+    """Run one window as a single streaming Dataset pipeline; returns the
+    per-partition stats frame (small).  ``pre_ds`` supplies a
+    (possibly already materialized) stateless half from window lookahead."""
+    wid = window_id_for(start_us, end_us)
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    prev_errored = ctx.max_errored_blocks
+    ds = pre_ds if pre_ds is not None else build_window_dataset(
+        log_dir, lake_root, cfg, start_us, end_us
     )
     if cfg.distributed_salt_buckets > 1:
         # two-stage salted fold (north_rule skew): stage A pre-folds each
@@ -179,16 +241,7 @@ def run_window(
             pseudo_events_table,
         )
 
-        S = cfg.distributed_salt_buckets
-        span = max((end_us - start_us) // S + 1, 1)
         payload = tuple(cfg.payload_cols)
-
-        def add_salt(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-            salt = ((ts - start_us) // span).astype(np.int32)
-            return t.append_column("salt", pa.array(salt))
 
         def prefold(group: pa.Table) -> pa.Table:
             pid = group["partition_id"][0].as_py()  # group = one (pid, salt)
@@ -199,20 +252,20 @@ def run_window(
                 pa.array(np.full(len(pseudo), pid, dtype=np.int32)),
             )
 
-        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+        # (the salt column was tagged in build_window_dataset)
         pseudo_ds = ds.groupby(["partition_id", "salt"]).map_groups(
-            prefold, batch_format="pyarrow", **retry_args
+            prefold, batch_format="pyarrow", **_retry_args(cfg)
         )
         apply_fn = make_apply_fn(lake_root, wid, cfg)
         # retried applies are safe: the manifest commit is monotonic/guarded,
         # so a replayed task that lost the race skips instead of double-applying
         stats_ds = pseudo_ds.groupby("partition_id").map_groups(
-            apply_fn, batch_format="pyarrow", **retry_args
+            apply_fn, batch_format="pyarrow", **_retry_args(cfg)
         )
     else:
         apply_fn = make_apply_fn(lake_root, wid, cfg)
         stats_ds = ds.groupby("partition_id").map_groups(
-            apply_fn, batch_format="pyarrow", **retry_args
+            apply_fn, batch_format="pyarrow", **_retry_args(cfg)
         )
     try:
         stats = stats_ds.to_pandas()
@@ -340,6 +393,31 @@ def run_ingest(
     result = IngestResult()
     done = {w["window_id"] for w in read_completed_windows(lake_root)}
 
+    # window lookahead: one-deep prefetch of the next window's stateless
+    # half, overlapping its read+parse with the current window's apply.
+    # Apply order — and therefore exactly-once — is untouched.
+    prefetch_pool = None
+    pending: tuple[str, object] | None = None  # (window_id, Future[Dataset])
+    if cfg.window_lookahead:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _stabilize_lazy_imports()
+        prefetch_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _effective_cfg():
+        # reload the durable denylist at every window boundary so runtime
+        # mutations (CLI `denylist add/remove`) take effect mid-session
+        # (≙ the reference's runtime toggle, denylist_oplog_test.go:12-75)
+        durable_deny = load_denylist(lake_root)
+        return (
+            cfg.with_denylist(set(cfg.denylist) | durable_deny)
+            if durable_deny
+            else cfg
+        )
+
+    def _prefetch(wcfg, s, e):
+        return build_window_dataset(log_dir, lake_root, wcfg, s, e).materialize()
+
     while start < hi:
         if max_windows is not None and result.windows_run >= max_windows:
             break
@@ -349,16 +427,24 @@ def run_ingest(
             start = end
             result.windows_skipped += 1
             continue
-        # reload the durable denylist at every window boundary so runtime
-        # mutations (CLI `denylist add/remove`) take effect mid-session
-        # (≙ the reference's runtime toggle, denylist_oplog_test.go:12-75)
-        durable_deny = load_denylist(lake_root)
-        wcfg = (
-            cfg.with_denylist(set(cfg.denylist) | durable_deny)
-            if durable_deny
-            else cfg
-        )
-        stats = run_window(log_dir, lake_root, wcfg, start, end)
+        wcfg = _effective_cfg()
+        pre_ds = None
+        if pending is not None:
+            p_wid, fut = pending
+            pending = None
+            if p_wid == wid:
+                pre_ds = fut.result()
+            else:  # boundary drift (shouldn't happen) → discard, fail open
+                fut.result()
+        if prefetch_pool is not None:
+            nxt_start, nxt_end = end, min(end + cfg.window_us, hi)
+            if nxt_start < hi and window_id_for(nxt_start, nxt_end) not in done:
+                pending = (
+                    window_id_for(nxt_start, nxt_end),
+                    # denylist snapshot taken NOW (documented one-window lag)
+                    prefetch_pool.submit(_prefetch, wcfg, nxt_start, nxt_end),
+                )
+        stats = run_window(log_dir, lake_root, wcfg, start, end, pre_ds=pre_ds)
         agg = {
             "window_id": wid,
             "start_us": start,
@@ -385,5 +471,7 @@ def run_ingest(
         if on_window is not None:
             on_window(agg)
         start = end
+    if prefetch_pool is not None:
+        prefetch_pool.shutdown(wait=False, cancel_futures=True)
     write_run_metrics(lake_root, result, hi, wall_s=_time.monotonic() - t0)
     return result

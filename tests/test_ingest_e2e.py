@@ -282,11 +282,37 @@ def test_distributed_salt_fold_matches_oracle(tmp_path):
         dict(distributed_salt_buckets=5),
         dict(state_mode="delta", compact_threshold=2, distributed_salt_buckets=5),
         dict(state_mode="delta", compact_threshold=2, salt_rows_threshold=100),
+        dict(window_lookahead=True),
+        dict(
+            state_mode="delta",
+            compact_threshold=2,
+            distributed_salt_buckets=5,
+            window_lookahead=True,
+        ),
     ],
-    ids=["delta", "dist-salt", "delta+dist-salt", "delta+chunked"],
+    ids=[
+        "delta",
+        "dist-salt",
+        "delta+dist-salt",
+        "delta+chunked",
+        "lookahead",
+        "delta+dist-salt+lookahead",
+    ],
 )
 def test_mode_matrix_matches_oracle(log_dir, log_df, tmp_lake, mode_kw):
     """All layout/skew mode combinations must produce the oracle state."""
     cfg = _window_cfg(log_dir, 3, num_partitions=4, **mode_kw)
     run_ingest(log_dir, tmp_lake, cfg)
+    _assert_matches_oracle(tmp_lake, log_df)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lookahead_resume_and_idempotence(log_dir, log_df, tmp_lake):
+    """Lookahead keeps apply order sequential: killing after max_windows=2
+    then resuming (still with lookahead) replays nothing and converges."""
+    cfg = _window_cfg(log_dir, 4, window_lookahead=True)
+    r1 = run_ingest(log_dir, tmp_lake, cfg, max_windows=2)
+    assert r1.windows_run == 2
+    r2 = run_ingest(log_dir, tmp_lake, cfg)
+    assert r2.windows_run == 2  # resumes past the two committed windows
     _assert_matches_oracle(tmp_lake, log_df)

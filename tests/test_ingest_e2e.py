@@ -316,3 +316,43 @@ def test_lookahead_resume_and_idempotence(log_dir, log_df, tmp_lake):
     r2 = run_ingest(log_dir, tmp_lake, cfg)
     assert r2.windows_run == 2  # resumes past the two committed windows
     _assert_matches_oracle(tmp_lake, log_df)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_growing_log_with_lookahead(tmp_path):
+    """Continuous tail with window lookahead: appended files between rounds
+    still converge to the full-log oracle (the prefetch is per-run, so new
+    files are picked up by the next round's fresh window enumeration)."""
+    import pyarrow.parquet as _pq
+
+    from oplogtoredis_ray.pipelines.ingest import run_follow
+    from oplogtoredis_ray.sources.synthetic import _arrow_table
+
+    spec = GeneratorSpec(seed=23, n_conversations=30, n_files=4)
+    log = generate_event_log(spec)
+    evo = log.attrs["evo_ts"]
+    d = tmp_path / "growing"
+    lake = str(tmp_path / "lake")
+    d.mkdir()
+    chunks = dict(tuple(log.groupby("_file", sort=True)))
+    for fid in (0, 1):
+        c = chunks[fid]
+        _pq.write_table(
+            _arrow_table(c, bool((c["ts"] >= evo).any())),
+            str(d / f"events-{fid:04d}.parquet"),
+        )
+    lo, hi = log_ts_bounds(str(d))
+    cfg = _cfg(window_us=(hi - lo) // 3 + 1, num_partitions=4, window_lookahead=True)
+    res1 = run_follow(str(d), lake, cfg)
+    assert res1.windows_run >= 2
+    for fid in sorted(chunks):
+        if fid in (0, 1):
+            continue
+        c = chunks[fid]
+        _pq.write_table(
+            _arrow_table(c, bool((c["ts"] >= evo).any())),
+            str(d / f"events-{fid:04d}.parquet"),
+        )
+    res2 = run_follow(str(d), lake, cfg)
+    assert res2.windows_run >= 1
+    _assert_matches_oracle(lake, log)

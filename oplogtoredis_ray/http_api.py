@@ -32,16 +32,46 @@ from oplogtoredis_ray.state.metrics import read_metrics
 
 
 def render_prometheus(lake_root: str) -> str:
-    """Last-run metrics + denylist gauges in Prometheus text format."""
-    lines: list[str] = []
+    """Last-run metrics, per-database denylist counters and the per-window
+    distribution histograms in Prometheus text format.
 
-    def gauge(name: str, value, labels: str = "", help_: str | None = None):
-        if value is None:
+    HELP/TYPE headers are emitted exactly once per metric name (the text
+    format rejects repeated TYPE lines for a name, so multi-sample metrics —
+    the labeled denylist gauges/counters and every histogram — write one
+    header followed by all their samples)."""
+    lines: list[str] = []
+    headered: set[str] = set()
+
+    def header(name: str, mtype: str, help_: str | None):
+        if name in headered:
             return
+        headered.add(name)
         if help_:
             lines.append(f"# HELP {name} {help_}")
-        lines.append(f"# TYPE {name} gauge")
+        lines.append(f"# TYPE {name} {mtype}")
+
+    def sample(name: str, value, labels: str = "", mtype: str = "gauge",
+               help_: str | None = None):
+        if value is None:
+            return
+        header(name, mtype, help_)
         lines.append(f"{name}{labels} {value}")
+
+    def _esc(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
+    def histogram(name: str, hist: dict | None, help_: str | None = None):
+        """≙ the reference's prometheus.Histogram exposition
+        (lib/oplog/tail.go:88-94, lib/redispub/publisher.go:78-92):
+        cumulative le-buckets + _sum + _count."""
+        if not hist:
+            return
+        header(name, "histogram", help_)
+        for le, n in hist.get("buckets", {}).items():
+            lines.append(f'{name}_bucket{{le="{le}"}} {n}')
+        lines.append(f'{name}_bucket{{le="+Inf"}} {hist.get("count", 0)}')
+        lines.append(f"{name}_sum {hist.get('sum', 0)}")
+        lines.append(f"{name}_count {hist.get('count', 0)}")
 
     m = read_metrics(lake_root) or {}
     ev = m.get("events", {})
@@ -54,20 +84,33 @@ def render_prometheus(lake_root: str) -> str:
         ("patches", "partial updates applied"),
         ("patch_misses", "patches with no prior state"),
     ]:
-        gauge(f"otr_events_{key}", ev.get(key), help_=help_)
-    gauge("otr_windows_run", m.get("windows_run"))
-    gauge("otr_deadletter_rows", m.get("deadletter_rows"),
-          help_="rows in the dead-letter channel")
-    gauge("otr_watermark_lag_us", m.get("watermark_lag_us"),
-          help_="log end minus applied window end (staleness)")
-    gauge("otr_resume_gap_us", m.get("resume_gap_us"),
-          help_="committed frontier minus slowest partition watermark")
-    gauge("otr_last_run_wall_seconds", m.get("wall_s"))
+        sample(f"otr_events_{key}", ev.get(key), help_=help_)
+    sample("otr_windows_run", m.get("windows_run"))
+    sample("otr_deadletter_rows", m.get("deadletter_rows"),
+           help_="rows in the dead-letter channel")
+    sample("otr_watermark_lag_us", m.get("watermark_lag_us"),
+           help_="log end minus applied window end (staleness)")
+    sample("otr_resume_gap_us", m.get("resume_gap_us"),
+           help_="committed frontier minus slowest partition watermark")
+    sample("otr_last_run_wall_seconds", m.get("wall_s"))
+    # per-database filtered counts (≙ metricFilteredPerDB, tail.go:109-114)
+    for db, n in sorted((m.get("denied_by_db") or {}).items()):
+        sample(
+            "otr_denylist_filtered_total",
+            n,
+            labels='{db="%s"}' % _esc(db),
+            mtype="counter",
+            help_="events dropped by the denylist in the last run, per database",
+        )
+    histogram("otr_window_wall_seconds", m.get("window_wall_seconds_hist"),
+              help_="per-window ingest wall time distribution")
+    histogram("otr_window_events", m.get("window_events_hist"),
+              help_="events-per-window distribution")
     for db in sorted(load_denylist(lake_root)):
-        gauge(
+        sample(
             "otr_denylist_filter_enabled",
             1,
-            labels='{db="%s"}' % db.replace('"', '\\"'),
+            labels='{db="%s"}' % _esc(db),
         )
     return "\n".join(lines) + "\n"
 

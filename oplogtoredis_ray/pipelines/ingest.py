@@ -157,6 +157,7 @@ def build_window_dataset(
     cfg: PipelineConfig,
     start_us: int,
     end_us: int,
+    deny_counter=None,
 ):
     """The stateless half of a window: read → parse (→ salt tag).  Depends
     on NO lake state (dedup/fold happen in the apply phase), so it can be
@@ -182,7 +183,7 @@ def build_window_dataset(
     if cfg.parse_concurrency is not None:
         parse_kwargs["concurrency"] = cfg.parse_concurrency
     ds = ds.map_batches(
-        ParseStage(cfg, deadletter, emit_changed_fields=False),
+        ParseStage(cfg, deadletter, emit_changed_fields=False, deny_counter=deny_counter),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         **_retry_args(cfg),
@@ -213,17 +214,14 @@ def run_window(
     start_us: int,
     end_us: int,
     pre_ds=None,
+    deny_counter=None,
 ) -> pd.DataFrame:
     """Run one window as a single streaming Dataset pipeline; returns the
     per-partition stats frame (small).  ``pre_ds`` supplies a
     (possibly already materialized) stateless half from window lookahead."""
     wid = window_id_for(start_us, end_us)
-    from ray.data.context import DataContext
-
-    ctx = DataContext.get_current()
-    prev_errored = ctx.max_errored_blocks
     ds = pre_ds if pre_ds is not None else build_window_dataset(
-        log_dir, lake_root, cfg, start_us, end_us
+        log_dir, lake_root, cfg, start_us, end_us, deny_counter=deny_counter
     )
     if cfg.distributed_salt_buckets > 1:
         # two-stage salted fold (north_rule skew): stage A pre-folds each
@@ -267,10 +265,11 @@ def run_window(
         stats_ds = ds.groupby("partition_id").map_groups(
             apply_fn, batch_format="pyarrow", **_retry_args(cfg)
         )
-    try:
-        stats = stats_ds.to_pandas()
-    finally:
-        ctx.max_errored_blocks = prev_errored
+    # (max_errored_blocks is snapshotted into each Dataset at creation by
+    # build_window_dataset; save/restore of the global DataContext happens
+    # once per run in run_ingest — not here, where the lookahead thread's
+    # concurrent set for window N+1 would race the restore)
+    stats = stats_ds.to_pandas()
     global LAST_WINDOW_EXEC_STATS
     LAST_WINDOW_EXEC_STATS = stats_ds.stats()  # Ray per-stage execution stats
     if len(stats) == 0:
@@ -404,74 +403,128 @@ def run_ingest(
         _stabilize_lazy_imports()
         prefetch_pool = ThreadPoolExecutor(max_workers=1)
 
+    # per-database denylist-filtered counts (≙ tail.go:109-114): the counter
+    # actor is created lazily at the first window whose effective denylist is
+    # non-empty, so denylist-free runs pay nothing
+    deny_counter = None
+
     def _effective_cfg():
         # reload the durable denylist at every window boundary so runtime
         # mutations (CLI `denylist add/remove`) take effect mid-session
         # (≙ the reference's runtime toggle, denylist_oplog_test.go:12-75)
+        nonlocal deny_counter
         durable_deny = load_denylist(lake_root)
-        return (
+        wcfg = (
             cfg.with_denylist(set(cfg.denylist) | durable_deny)
             if durable_deny
             else cfg
         )
+        if wcfg.denylist and deny_counter is None:
+            from oplogtoredis_ray.state.counters import make_counter_actor
+
+            deny_counter = make_counter_actor()
+        return wcfg
 
     def _prefetch(wcfg, s, e):
-        return build_window_dataset(log_dir, lake_root, wcfg, s, e).materialize()
+        return build_window_dataset(
+            log_dir, lake_root, wcfg, s, e, deny_counter=deny_counter
+        ).materialize()
 
-    while start < hi:
-        if max_windows is not None and result.windows_run >= max_windows:
-            break
-        end = min(start + cfg.window_us, hi)
-        wid = window_id_for(start, end)
-        if wid in done:
+    # the errored-block budget lives in the global DataContext (snapshotted
+    # per Dataset at creation); save it ONCE here and restore in the finally
+    # so neither run_window nor the concurrent lookahead thread can leak
+    # cfg's value into later non-ingest Datasets in this process
+    from ray.data.context import DataContext
+
+    _ctx = DataContext.get_current()
+    _prev_errored = _ctx.max_errored_blocks
+    try:
+        while start < hi:
+            if max_windows is not None and result.windows_run >= max_windows:
+                break
+            end = min(start + cfg.window_us, hi)
+            wid = window_id_for(start, end)
+            if wid in done:
+                start = end
+                result.windows_skipped += 1
+                continue
+            wcfg = _effective_cfg()
+            pre_ds = None
+            if pending is not None:
+                p_wid, fut = pending
+                pending = None
+                if p_wid == wid:
+                    pre_ds = fut.result()
+                else:  # boundary drift (shouldn't happen) → discard, fail open
+                    fut.result()
+            if prefetch_pool is not None:
+                nxt_start, nxt_end = end, min(end + cfg.window_us, hi)
+                if nxt_start < hi and window_id_for(nxt_start, nxt_end) not in done:
+                    pending = (
+                        window_id_for(nxt_start, nxt_end),
+                        # denylist snapshot taken NOW (documented one-window lag)
+                        prefetch_pool.submit(_prefetch, wcfg, nxt_start, nxt_end),
+                    )
+            w_t0 = _time.monotonic()
+            stats = run_window(
+                log_dir, lake_root, wcfg, start, end,
+                pre_ds=pre_ds, deny_counter=deny_counter,
+            )
+            agg = {
+                "window_id": wid,
+                "start_us": start,
+                "end_us": end,
+                "wall_s": round(_time.monotonic() - w_t0, 4),
+                "partitions": int(len(stats)),
+                "events_in": int(stats["events_in"].sum()) if len(stats) else 0,
+                "dupes_dropped": int(stats["dupes_dropped"].sum()) if len(stats) else 0,
+                "below_watermark": int(stats["below_watermark"].sum()) if len(stats) else 0,
+                "upserts": int(stats["upserts"].sum()) if len(stats) else 0,
+                "deletes": int(stats["deletes"].sum()) if len(stats) else 0,
+                "patches": int(stats["patches"].sum()) if len(stats) else 0,
+                "patch_misses": int(stats["patch_misses"].sum()) if len(stats) else 0,
+            }
+            append_completed_window(lake_root, wid, end, agg)
+            result.windows_run += 1
+            result.events_in += agg["events_in"]
+            result.dupes_dropped += agg["dupes_dropped"]
+            result.below_watermark += agg["below_watermark"]
+            result.upserts += agg["upserts"]
+            result.deletes += agg["deletes"]
+            result.patches += agg["patches"]
+            result.patch_misses += agg["patch_misses"]
+            result.window_stats.append(agg)
+            if on_window is not None:
+                on_window(agg)
             start = end
-            result.windows_skipped += 1
-            continue
-        wcfg = _effective_cfg()
-        pre_ds = None
-        if pending is not None:
-            p_wid, fut = pending
-            pending = None
-            if p_wid == wid:
-                pre_ds = fut.result()
-            else:  # boundary drift (shouldn't happen) → discard, fail open
-                fut.result()
+    finally:
+        # always reached — a mid-run window failure must not leave the
+        # in-flight prefetch executing on the cluster, leak the errored-block
+        # budget, or exit without a metrics file for the partial run
         if prefetch_pool is not None:
-            nxt_start, nxt_end = end, min(end + cfg.window_us, hi)
-            if nxt_start < hi and window_id_for(nxt_start, nxt_end) not in done:
-                pending = (
-                    window_id_for(nxt_start, nxt_end),
-                    # denylist snapshot taken NOW (documented one-window lag)
-                    prefetch_pool.submit(_prefetch, wcfg, nxt_start, nxt_end),
-                )
-        stats = run_window(log_dir, lake_root, wcfg, start, end, pre_ds=pre_ds)
-        agg = {
-            "window_id": wid,
-            "start_us": start,
-            "end_us": end,
-            "partitions": int(len(stats)),
-            "events_in": int(stats["events_in"].sum()) if len(stats) else 0,
-            "dupes_dropped": int(stats["dupes_dropped"].sum()) if len(stats) else 0,
-            "below_watermark": int(stats["below_watermark"].sum()) if len(stats) else 0,
-            "upserts": int(stats["upserts"].sum()) if len(stats) else 0,
-            "deletes": int(stats["deletes"].sum()) if len(stats) else 0,
-            "patches": int(stats["patches"].sum()) if len(stats) else 0,
-            "patch_misses": int(stats["patch_misses"].sum()) if len(stats) else 0,
-        }
-        append_completed_window(lake_root, wid, end, agg)
-        result.windows_run += 1
-        result.events_in += agg["events_in"]
-        result.dupes_dropped += agg["dupes_dropped"]
-        result.below_watermark += agg["below_watermark"]
-        result.upserts += agg["upserts"]
-        result.deletes += agg["deletes"]
-        result.patches += agg["patches"]
-        result.patch_misses += agg["patch_misses"]
-        result.window_stats.append(agg)
-        if on_window is not None:
-            on_window(agg)
-        start = end
-    if prefetch_pool is not None:
-        prefetch_pool.shutdown(wait=False, cancel_futures=True)
-    write_run_metrics(lake_root, result, hi, wall_s=_time.monotonic() - t0)
+            prefetch_pool.shutdown(wait=False, cancel_futures=True)
+        _ctx.max_errored_blocks = _prev_errored
+        from oplogtoredis_ray.state.counters import snapshot_counter
+
+        import sys as _sys
+
+        try:
+            write_run_metrics(
+                lake_root,
+                result,
+                hi,
+                wall_s=_time.monotonic() - t0,
+                denied_by_db=snapshot_counter(deny_counter),
+            )
+        except Exception:
+            # best-effort ONLY while another exception is already
+            # propagating (don't mask the window failure); on the success
+            # path a metrics-write failure surfaces normally
+            if _sys.exc_info()[0] is None:
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "metrics write failed for %s", lake_root, exc_info=True
+            )
     return result

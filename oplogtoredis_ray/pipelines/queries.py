@@ -592,12 +592,18 @@ def q_ngram_jaccard(sf_dir: str):
             b_out.append(ids[s:e][bi])
         a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
         b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
-        # pair-coarse key for the count exchange (doc ids < 2^31 packed)
+        # pair-coarse key for the count exchange: mix BOTH ids before the
+        # mod (`((a<<32)|b) % 64` would reduce to `b % 64` since 2^32 is
+        # divisible by 64 — one-sided keying skews buckets under a hot b_id)
+        with np.errstate(over="ignore"):
+            mixed = (
+                a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ b.view(np.uint64)
         return pd.DataFrame(
             {
                 "a_id": a,
                 "b_id": b,
-                "pair_bucket": ((a << 32) | b) % NUM_GRAM_BUCKETS,
+                "pair_bucket": (mixed % np.uint64(NUM_GRAM_BUCKETS)).astype(np.int64),
             }
         )
 
@@ -605,10 +611,17 @@ def q_ngram_jaccard(sf_dir: str):
         # per-coarse-bucket pair counting via np.unique — Ray's groupby
         # AGGREGATE over high-cardinality keys does per-group work
         # (measured 60s for 190k groups); a 64-way coarse exchange with
-        # vectorized in-task counting is the scalable shape
-        packed = (g["a_id"].to_numpy(dtype=np.int64) << 32) | g["b_id"].to_numpy(
-            dtype=np.int64
-        )
+        # vectorized in-task counting is the scalable shape.
+        # PRECONDITION: doc ids fit 31 bits so (a<<32)|b packs losslessly
+        # into int64 — enforced, not assumed (corrupt counts otherwise)
+        a_np = g["a_id"].to_numpy(dtype=np.int64)
+        b_np = g["b_id"].to_numpy(dtype=np.int64)
+        if len(a_np) and max(int(a_np.max()), int(b_np.max())) >= (1 << 31):
+            raise ValueError(
+                "ngram_jaccard pair packing requires doc_id < 2^31; "
+                "remap ids or widen the pack"
+            )
+        packed = (a_np << 32) | b_np
         keys, counts = np.unique(packed, return_counts=True)
         return pd.DataFrame(
             {

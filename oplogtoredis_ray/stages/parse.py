@@ -66,10 +66,15 @@ class ParseStage:
         cfg: PipelineConfig,
         deadletter_dir: str | None = None,
         emit_changed_fields: bool = True,
+        deny_counter=None,
     ):
         self.cfg = cfg
         self.deadletter_dir = deadletter_dir
         self.deny: frozenset[str] = cfg.denylist
+        # optional counter-actor handle (state/counters.py): per-database
+        # denylist-filtered counts ≙ tail.go:109-114.  Fire-and-forget, one
+        # call per batch that dropped rows.
+        self.deny_counter = deny_counter
         self.payload_cols = tuple(cfg.payload_cols)
         # the lake-apply path derives set-fields from the non-null pattern
         # directly, so the ingest pipeline skips building/shuffling the
@@ -105,6 +110,27 @@ class ParseStage:
                 batch["conv_id"], value_set=pa.array(sorted(self.deny))
             )
             keep = pc.invert(pc.fill_null(denied, False))
+            if self.deny_counter is not None:
+                dropped = batch.filter(pc.fill_null(denied, False))
+                if len(dropped):
+                    vc = pc.value_counts(dropped["conv_id"].combine_chunks()
+                                         if isinstance(dropped["conv_id"], pa.ChunkedArray)
+                                         else dropped["conv_id"])
+                    import ray as _ray
+
+                    # blocking get: when this parse task completes, its
+                    # increments are durable in the actor — the driver's
+                    # end-of-run snapshot (which waits on all tasks) then
+                    # can't race in-flight adds.  Paid only on batches that
+                    # actually dropped rows.
+                    _ray.get(
+                        self.deny_counter.add.remote(
+                            {
+                                str(v["values"]): int(v["counts"])
+                                for v in vc.to_pylist()
+                            }
+                        )
+                    )
             batch = batch.filter(keep)
 
         return self._finalize(batch)

@@ -66,8 +66,10 @@ class DenylistStore:
 
     - ``add``     ≙ PUT /denylist/:id — idempotent; returns True if newly
       added, False if already present (http.go:79-97 returns 200 either way).
-    - ``remove``  ≙ DELETE /denylist/:id — returns False when absent
-      (http.go:120-138 answers 404).
+    - ``remove``  ≙ DELETE /denylist/:id — the reference deliberately
+      answers 204 (success) even for non-existent entries
+      (http.go:120-133: deploy tooling needs absent-delete to succeed);
+      ``remove`` returning False is that same no-op case.
     - ``entries`` ≙ GET /denylist — sorted id list (http.go:22-44).
     """
 

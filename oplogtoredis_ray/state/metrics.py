@@ -45,7 +45,35 @@ def _deadletter_totals(lake_root: str) -> tuple[int, int]:
     return len(files), rows
 
 
-def build_run_metrics(lake_root: str, result, log_end_us: int | None, wall_s: float | None = None) -> dict:
+# histogram bucket bounds (Prometheus ``le`` semantics: cumulative counts of
+# observations <= bound; +Inf is implied by ``count``)
+WINDOW_WALL_BUCKETS = (0.1, 0.25, 0.5, 1.0, 2.0, 5.0, 10.0, 30.0, 60.0, 120.0)
+WINDOW_EVENTS_BUCKETS = (
+    1_000, 10_000, 100_000, 1_000_000, 10_000_000, 100_000_000
+)
+
+
+def _histogram(values, bounds) -> dict:
+    """Cumulative-bucket histogram dict (≙ prometheus.Histogram state:
+    entry-size/duration distributions in tail.go:88-94 and
+    publisher.go:78-92, exported here as data instead of a live registry)."""
+    vals = list(values)
+    return {
+        "buckets": {
+            ("%g" % b): sum(1 for v in vals if v <= b) for b in bounds
+        },
+        "sum": float(sum(vals)),
+        "count": len(vals),
+    }
+
+
+def build_run_metrics(
+    lake_root: str,
+    result,
+    log_end_us: int | None,
+    wall_s: float | None = None,
+    denied_by_db: dict | None = None,
+) -> dict:
     from oplogtoredis_ray.state.manifest import (
         ManifestReadError,
         read_all_manifests,
@@ -90,12 +118,29 @@ def build_run_metrics(lake_root: str, result, log_end_us: int | None, wall_s: fl
             if applied_end is not None and min_wm is not None
             else None
         ),
+        # per-window distributions (≙ the histogram metrics class the
+        # reference exports live; see http_api.render_prometheus)
+        "window_wall_seconds_hist": _histogram(
+            (w["wall_s"] for w in result.window_stats if w.get("wall_s") is not None),
+            WINDOW_WALL_BUCKETS,
+        ),
+        "window_events_hist": _histogram(
+            (w["events_in"] for w in result.window_stats), WINDOW_EVENTS_BUCKETS
+        ),
+        # per-database denylist-filtered counts (≙ tail.go:109-114)
+        "denied_by_db": dict(sorted((denied_by_db or {}).items())),
         "window_stats": result.window_stats,
     }
 
 
-def write_run_metrics(lake_root: str, result, log_end_us: int | None, wall_s: float | None = None) -> dict:
-    metrics = build_run_metrics(lake_root, result, log_end_us, wall_s)
+def write_run_metrics(
+    lake_root: str,
+    result,
+    log_end_us: int | None,
+    wall_s: float | None = None,
+    denied_by_db: dict | None = None,
+) -> dict:
+    metrics = build_run_metrics(lake_root, result, log_end_us, wall_s, denied_by_db)
     path = metrics_path(lake_root)
     os.makedirs(lake_root, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=lake_root, suffix=".tmp")

@@ -116,6 +116,80 @@ class TestHealthAndMetrics:
         out = render_prometheus(str(tmp_path / "lake"))
         assert "otr_events_in" not in out
 
+    def test_type_line_once_per_metric_name(self, tmp_path):
+        """The Prometheus text format allows ONE TYPE line per metric name;
+        ≥2 denylisted entries must share a single header (the official
+        scraper rejects the whole exposition otherwise)."""
+        from oplogtoredis_ray.state.denylist import DenylistStore
+
+        lake = str(tmp_path / "lake")
+        store = DenylistStore(lake)
+        store.add("db_a")
+        store.add("db_b")
+        text = render_prometheus(lake)
+        assert text.count("# TYPE otr_denylist_filter_enabled gauge") == 1
+        assert 'otr_denylist_filter_enabled{db="db_a"} 1' in text
+        assert 'otr_denylist_filter_enabled{db="db_b"} 1' in text
+        for line in text.splitlines():
+            if line.startswith("# TYPE "):
+                name = line.split()[2]
+                assert (
+                    sum(
+                        1
+                        for l in text.splitlines()
+                        if l.startswith(f"# TYPE {name} ")
+                    )
+                    == 1
+                )
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_per_db_deny_counts_and_histograms(self, tmp_path, server):
+        """≙ tail.go:88-114 + publisher.go:78-92: per-database filtered
+        counts and per-window wall-time / events distributions, in
+        metrics.json and as Prometheus counter/histogram text."""
+        from oplogtoredis_ray.config import PipelineConfig
+        from oplogtoredis_ray.pipelines.ingest import run_ingest
+        from oplogtoredis_ray.sources.synthetic import write_event_log
+        from oplogtoredis_ray.state.denylist import DenylistStore
+        from oplogtoredis_ray.state.metrics import read_metrics
+
+        base, lake = server
+        rows = []
+        for w, ts in enumerate([1000, 2000]):
+            for conv, k in [("keep", 1), ("bad_a", 2), ("bad_b", 1)]:
+                for i in range(k):
+                    rows.append(
+                        dict(ts=ts + i, seq=len(rows), tx_idx=-1, op="i",
+                             conv_id=conv, turn_idx=w, role="user", text="x",
+                             tool=None, _file=0)
+                    )
+        log_dir = str(tmp_path / "events")
+        write_event_log(pd.DataFrame(rows), log_dir, evo_ts=0)
+        store = DenylistStore(lake)
+        store.add("bad_a")
+        store.add("bad_b")
+        run_ingest(log_dir, lake, PipelineConfig(num_partitions=2, window_us=1000))
+
+        m = read_metrics(lake)
+        assert m["denied_by_db"] == {"bad_a": 4, "bad_b": 2}
+        hist = m["window_wall_seconds_hist"]
+        assert hist["count"] == 2 and hist["sum"] > 0
+        ev_hist = m["window_events_hist"]
+        assert ev_hist["count"] == 2
+        # every window had ≤1000 events → the first cumulative bucket is full
+        assert ev_hist["buckets"]["1000"] == 2
+
+        code, body = _req(base, "/metrics")
+        text = body.decode()
+        assert code == 200
+        assert 'otr_denylist_filtered_total{db="bad_a"} 4' in text
+        assert 'otr_denylist_filtered_total{db="bad_b"} 2' in text
+        assert text.count("# TYPE otr_denylist_filtered_total counter") == 1
+        assert "# TYPE otr_window_wall_seconds histogram" in text
+        assert 'otr_window_wall_seconds_bucket{le="+Inf"} 2' in text
+        assert "otr_window_wall_seconds_count 2" in text
+        assert 'otr_window_events_bucket{le="1000"} 2' in text
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_http_mutation_flips_running_ingest(tmp_path):

@@ -47,6 +47,74 @@ def rolling_fingerprint(text: str) -> int:
     return int(_poly_hash(data, _BASE, _SEED))
 
 
+def normalize_text_arrow(text):
+    """Vectorized ``normalize_text`` over an Arrow string column (RE2
+    kernels agree with Python ``re`` on the ``\\s`` class for the ASCII
+    whitespace this corpus uses; parity is pinned by the DuckDB oracles,
+    which normalize with the same regexp)."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(pc.utf8_trim_whitespace(text))
+    return pc.replace_substring_regex(t, r"\s+", " ")
+
+
+# second independent (base, seed) pair for the 128-bit composite content
+# hash — two 64-bit polynomial hashes collide together only at ~2^-128
+_BASE2 = np.uint64(1000033)
+_SEED2 = np.uint64(0x9AE16A3B2F90404F)
+
+
+def poly_hash_batch(
+    strings, base: np.uint64 = _BASE, seed: np.uint64 = _SEED
+) -> np.ndarray:
+    """Per-row polynomial hash of a utf8 Arrow column, fully vectorized
+    over the raw string buffers — strings are never boxed into Python
+    objects (the round-2 per-row ``hashlib.md5`` loop profiled as the
+    largest Python cost in the curation path).
+
+    Bit-identical to ``rolling_fingerprint`` on already-normalized input
+    (same ``h = seed·base^n + Σ byte_i·base^(n-1-i)  (mod 2^64)``)."""
+    import pyarrow as pa
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    arr = strings.cast(pa.large_string())  # int64 offsets, no 2 GB limit
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offsets = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8
+    )
+    starts = offsets[:-1] - offsets[0]
+    ends = offsets[1:] - offsets[0]
+    lens = ends - starts
+    data = np.frombuffer(
+        arr.buffers()[2], dtype=np.uint8, count=int(offsets[-1] - offsets[0]),
+        offset=int(offsets[0]),
+    )
+    max_len = int(lens.max()) if n else 0
+    with np.errstate(**_ERR):
+        pow_table = np.full(max_len + 1, base, dtype=np.uint64)
+        pow_table[0] = np.uint64(1)
+        pow_table = np.cumprod(pow_table)  # base^0 .. base^max_len (mod 2^64)
+        # exponent of byte j in segment s: ends[s]-1-j
+        exp = np.repeat(ends, lens) - 1 - np.arange(len(data), dtype=np.int64)
+        terms = data.astype(np.uint64) * pow_table[exp]
+        csum = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+        seg = csum[ends] - csum[starts]  # wraparound-safe segment sums
+        return seed * pow_table[lens] + seg
+
+
+def content_hash128(text) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 pair per row: two independent polynomial hashes of
+    the vectorized-normalized text — the stable content identity used as a
+    dedup GROUPING key (grouping by it ≡ grouping by the normalized text
+    itself, which is exactly what the SQL oracles group by; no hash-value
+    parity needed, so no cryptographic per-row hashing either)."""
+    norm = normalize_text_arrow(text)
+    return poly_hash_batch(norm), poly_hash_batch(norm, _BASE2, _SEED2)
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Hashes of all word k-shingles (unique, uint64), vectorized.
 

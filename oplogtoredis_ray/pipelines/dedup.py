@@ -5,14 +5,16 @@
   never the text.
 - MinHash + LSH near-dup: shingle → minhash signature (vectorized
   universal hashing) → banded bucketing → groupby(band, bucket) → candidate
-  pairs → exact shingle-Jaccard verification → connected components.
-  Union-find runs on the driver over the *candidate pair list only* — that
-  set is sized by true near-dup density, not the corpus (documented
-  assumption; at 100 TB the pair list is the thing that must fit, and band
-  thresholds keep it sparse).  The final cluster assignment broadcasts the
-  (small) resolved parent map via ``ray.put`` and labels doc ids in a
-  vectorized ``map_batches`` stage — the corpus itself never reaches the
-  driver.
+  pairs → DISTRIBUTED exact shingle-Jaccard verification (shingle explode
+  over candidate docs → broadcast pair membership → bucketed vectorized
+  intersection counts) → connected components.  Union-find runs on the
+  driver over the *verified edge list only* — that set is sized by true
+  near-dup density, not the corpus (documented assumption; at 100 TB the
+  edge list is the thing that must fit, and band thresholds + the
+  per-bucket candidate cap keep it sparse).  The final cluster assignment
+  broadcasts the (small) resolved parent map via ``ray.put`` and labels doc
+  ids in a vectorized ``map_batches`` stage — neither the corpus nor any
+  candidate text ever reaches the driver.
 - SimHash: 64-bit signed-projection sketch; near-dups share bucket prefixes
   within small Hamming distance.
 
@@ -168,6 +170,11 @@ _EMPTY_PAIRS = pd.DataFrame(
     {"a_id": pd.array([], dtype="int64"), "b_id": pd.array([], dtype="int64")}
 )
 
+# truncation stats of the most recent minhash_lsh_dedup run in this process
+# (observability for lost recall — also exported to
+# ``materialize_dir/minhash_metrics.json`` when materializing)
+LAST_TRUNCATION_STATS: dict = {"truncated_buckets": 0, "dropped_ids": 0}
+
 # Two-level grouping: LSH buckets are numerous and tiny (most are
 # singletons), and Ray's per-group map_groups UDF dispatch dominates when
 # groups outnumber rows-per-group.  The distributed exchange groups on a
@@ -242,6 +249,202 @@ def _candidate_pairs_from_coarse_group(
     return out
 
 
+class ShingleExplode:
+    """Batch stage: explode CANDIDATE docs into (doc_id, shingle-hash) rows.
+
+    The candidate id set (sized by near-dup density, not the corpus) is
+    broadcast once per actor via ``ray.put``; non-candidate rows are
+    filtered vectorizedly, so the corpus text never leaves the workers."""
+
+    def __init__(self, ids_ref, shingle_k: int, text_col: str, id_col: str):
+        import ray
+
+        ids = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
+        self.ids = pa.array(ids, type=pa.int64())
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.fill_null(pc.is_in(batch[self.id_col], value_set=self.ids), False)
+        )
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[self.text_col].to_pylist()
+        id_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
+        for i, t in zip(ids, texts):  # inner shingle work vectorized
+            hs = shingle_hashes(t, self.k)
+            id_out.append(np.full(len(hs), i, dtype=np.int64))
+            h_out.append(hs)
+        return pa.table(
+            {
+                self.id_col: pa.array(
+                    np.concatenate(id_out) if id_out else np.array([], dtype=np.int64)
+                ),
+                "h": pa.array(
+                    np.concatenate(h_out) if h_out else np.array([], dtype=np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+
+class PairMembership:
+    """Batch stage over shingle rows: replicate each doc's shingles into the
+    candidate pairs it participates in — (pair_id, h, side, coarse) rows for
+    the bucketed verification exchange.  The membership frame (2 rows per
+    candidate pair) is broadcast once per actor."""
+
+    def __init__(self, membership_ref, id_col: str):
+        import ray
+
+        self.mem = (
+            ray.get(membership_ref)
+            if not isinstance(membership_ref, pd.DataFrame)
+            else membership_ref
+        )
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(zero_copy_only=False),
+                "h": batch["h"].to_numpy(zero_copy_only=False),
+            }
+        )
+        j = df.merge(self.mem, on=self.id_col, how="inner")
+        pair_id = j["pair_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "pair_id": pa.array(pair_id),
+                "h": pa.array(j["h"].to_numpy(), type=pa.uint64()),
+                "coarse": pa.array(pair_id % NUM_COARSE_BUCKETS),
+            }
+        )
+
+
+_EMPTY_VERIFIED = pd.DataFrame({"pair_id": pd.array([], dtype="int64")})
+
+
+def _make_verify_group(jaccard_threshold: float):
+    """Per-coarse-bucket exact-Jaccard verdicts, fully vectorized.  Each
+    (pair_id, h) occurs at most twice (per-doc shingle sets are unique and
+    sides are distinct docs), so intersection = count of adjacent (pair, h)
+    duplicates after a lexsort; |sa|+|sb| = rows per pair."""
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        pid = g["pair_id"].to_numpy(dtype=np.int64)
+        h = g["h"].to_numpy()
+        order = np.lexsort((h, pid))
+        pid, h = pid[order], h[order]
+        upair, sizes = np.unique(pid, return_counts=True)  # |sa| + |sb|
+        inter = np.zeros(len(upair), dtype=np.int64)
+        if len(pid) > 1:
+            dup = (pid[1:] == pid[:-1]) & (h[1:] == h[:-1])
+            if dup.any():
+                np.add.at(inter, np.searchsorted(upair, pid[1:][dup]), 1)
+        union = sizes - inter
+        ok = (union > 0) & (inter / np.maximum(union, 1) >= jaccard_threshold)
+        if not ok.any():
+            return _EMPTY_VERIFIED
+        return pd.DataFrame({"pair_id": upair[ok]})
+
+    return verify_group
+
+
+def _verify_pairs_distributed(
+    ds,
+    pairs: pd.DataFrame,
+    shingle_k: int,
+    jaccard_threshold: float,
+    text_col: str,
+    id_col: str,
+    materialize_dir: str | None,
+) -> list[tuple[int, int]]:
+    """Exact shingle-Jaccard verification of candidate pairs WITHOUT the
+    driver ever touching candidate texts or shingle sets (the round-2
+    driver funnel): shingles of candidate docs are exploded distributed,
+    joined to the (broadcast, pair-density-sized) pair membership, and
+    verified per pair-bucket — mirroring the oracle SQL's
+    pairs ⋈ shingles ⋈ shingles join.  The driver receives verified pair
+    ids only (edge-density-sized by construction).
+
+    At 100 TB the shingle-row volume is Σ(|sa|+|sb|) over candidate pairs —
+    it scales with candidate density (already capped per bucket), never
+    with the corpus; the exchange is the usual 64-way coarse bucket."""
+    import ray
+    import ray.data as rd
+
+    if len(pairs) == 0:
+        if materialize_dir:
+            # the oracle globs this dir; it must exist (empty) even when no
+            # candidates survive
+            shingle_dir = os.path.join(materialize_dir, "minhash_shingles")
+            if os.path.isdir(shingle_dir):
+                shutil.rmtree(shingle_dir)
+            os.makedirs(shingle_dir, exist_ok=True)
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "h": pa.array([], type=pa.uint64()),
+                    }
+                ),
+                os.path.join(shingle_dir, "shingles.parquet"),
+            )
+        return []
+
+    all_ids = np.sort(
+        pd.unique(pd.concat([pairs["a_id"], pairs["b_id"]])).astype(np.int64)
+    )
+    ids_ref = ray.put(all_ids)
+    shingle_rows = ds.map_batches(
+        ShingleExplode,
+        fn_constructor_args=(ids_ref, shingle_k, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    if materialize_dir:
+        shingle_dir = os.path.join(materialize_dir, "minhash_shingles")
+        _rewrite_parquet(shingle_rows, shingle_dir)
+        # downstream consumes the export (lazy Datasets recompute per use)
+        shingle_rows = rd.read_parquet(shingle_dir)
+
+    # pair membership: 2 rows per candidate pair, broadcast once
+    n = len(pairs)
+    membership = pd.DataFrame(
+        {
+            id_col: np.concatenate(
+                [pairs["a_id"].to_numpy(np.int64), pairs["b_id"].to_numpy(np.int64)]
+            ),
+            "pair_id": np.concatenate(
+                [np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64)]
+            ),
+        }
+    )
+    mem_ref = ray.put(membership)
+    verified_ids = (
+        shingle_rows.map_batches(
+            PairMembership,
+            fn_constructor_args=(mem_ref, id_col),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby("coarse")
+        .map_groups(_make_verify_group(jaccard_threshold), batch_format="pandas")
+        .to_pandas()  # verified EDGES only — near-dup-density-sized
+    )
+    a = pairs["a_id"].to_numpy(np.int64)
+    b = pairs["b_id"].to_numpy(np.int64)
+    return [
+        (int(a[p]), int(b[p]))
+        for p in verified_ids["pair_id"].to_numpy(dtype=np.int64)
+    ]
+
+
 class AssignCluster:
     """Batch stage: label each doc id with its component root from the
     broadcast (small, near-dup-density-sized) resolved union-find map.
@@ -274,6 +477,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_dir: str | None = None,
+    candidate_cap: int = 50,
 ):
     """Near-dup clusters: returns a Dataset of (doc_id, cluster_id[min id in
     component]).  Docs with no near-dup form singleton clusters
@@ -282,6 +486,10 @@ def minhash_lsh_dedup(
     ``materialize_dir`` exports the deterministic intermediates
     (``minhash_sigs``: band buckets; ``minhash_shingles``: per-doc shingle
     hash sets) as parquet for external verification / reuse.
+
+    ``candidate_cap`` bounds the ids paired per hot LSH bucket (lost recall
+    is counted, logged and exported — see LAST_TRUNCATION_STATS /
+    ``minhash_metrics.json``); the oracle SQL must cap with the same value.
     """
     import ray
 
@@ -307,83 +515,44 @@ def minhash_lsh_dedup(
         sig_rows.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(
-            lambda g: _candidate_pairs_from_coarse_group(g, id_col),
+            lambda g: _candidate_pairs_from_coarse_group(g, id_col, cap=candidate_cap),
             batch_format="pandas",
         )
         .to_pandas()
     )
-    # surface truncated hot buckets (sentinel rows a_id == -1) before dedup
+    # surface truncated hot buckets (sentinel rows a_id == -1) before dedup:
+    # the GLOBAL truncation count (not just per-bucket) is kept for
+    # observability — at 100 TB a hot shingle's lost recall must be visible
+    global LAST_TRUNCATION_STATS
+    trunc = {"truncated_buckets": 0, "dropped_ids": 0, "candidate_cap": candidate_cap}
     if len(pairs):
         sentinels = pairs["a_id"] == -1
-        n_dropped = int(pairs.loc[sentinels, "b_id"].sum())
-        if n_dropped:
+        trunc["truncated_buckets"] = int(sentinels.sum())
+        trunc["dropped_ids"] = int(pairs.loc[sentinels, "b_id"].sum())
+        if trunc["dropped_ids"]:
             logger.warning(
-                "minhash_lsh_dedup: %d hot LSH bucket(s) truncated, %d doc ids "
-                "dropped from candidate generation (lost recall)",
-                int(sentinels.sum()),
-                n_dropped,
+                "minhash_lsh_dedup: %d hot LSH bucket(s) truncated at cap=%d, "
+                "%d doc ids dropped from candidate generation (lost recall)",
+                trunc["truncated_buckets"],
+                candidate_cap,
+                trunc["dropped_ids"],
             )
         pairs = pairs[~sentinels]
+    LAST_TRUNCATION_STATS = trunc
+    if materialize_dir:
+        import json as _json
+
+        os.makedirs(materialize_dir, exist_ok=True)
+        with open(os.path.join(materialize_dir, "minhash_metrics.json"), "w") as f:
+            _json.dump(trunc, f)
     pairs = pairs.drop_duplicates()
 
-    # exact verification on the candidate pairs only: fetch candidate docs
-    # with a DISTRIBUTED filter (broadcast id set) — the driver receives
-    # only candidate-density-many rows, never scans the corpus itself
-    verified = []
-    sh: dict[int, np.ndarray] = {}
-    if len(pairs):
-        all_ids = pd.unique(pd.concat([pairs["a_id"], pairs["b_id"]]))
-        id_arr = pa.array(np.sort(all_ids.astype(np.int64)))
-        cand_docs = (
-            ds.map_batches(
-                lambda t: t.filter(
-                    pc.is_in(t[id_col], value_set=id_arr)
-                ),
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-        )
-        texts = dict(zip(cand_docs[id_col].astype(int), cand_docs[text_col]))
-        sh = {i: shingle_hashes(t, shingle_k) for i, t in texts.items()}
-        for a, b in pairs.itertuples(index=False):
-            sa, sb = sh.get(int(a)), sh.get(int(b))
-            if sa is None or sb is None:
-                continue
-            inter = len(np.intersect1d(sa, sb))
-            union = len(sa) + len(sb) - inter
-            if union and inter / union >= jaccard_threshold:
-                verified.append((int(a), int(b)))
-
-    if materialize_dir:
-        # export the per-doc shingle-hash sets of CANDIDATE docs only (the
-        # set the oracle's Jaccard verification actually joins; sized by
-        # candidate density, not the corpus — already resident from the
-        # verification step, no extra scan)
-        shingle_dir = os.path.join(materialize_dir, "minhash_shingles")
-        if os.path.isdir(shingle_dir):
-            shutil.rmtree(shingle_dir)
-        os.makedirs(shingle_dir, exist_ok=True)
-        import pyarrow.parquet as _pq
-
-        ids_out = (
-            np.concatenate([np.full(len(h), i, dtype=np.int64) for i, h in sh.items()])
-            if sh
-            else np.array([], dtype=np.int64)
-        )
-        hs_out = (
-            np.concatenate(list(sh.values()))
-            if sh
-            else np.array([], dtype=np.uint64)
-        )
-        _pq.write_table(
-            pa.table(
-                {
-                    id_col: pa.array(ids_out, type=pa.int64()),
-                    "h": pa.array(hs_out, type=pa.uint64()),
-                }
-            ),
-            os.path.join(shingle_dir, "shingles.parquet"),
-        )
+    # exact verification runs DISTRIBUTED (shingle explode → broadcast pair
+    # membership → bucketed vectorized Jaccard); the driver receives only
+    # the verified edges, never candidate texts or shingle sets
+    verified = _verify_pairs_distributed(
+        ds, pairs, shingle_k, jaccard_threshold, text_col, id_col, materialize_dir
+    )
 
     # union-find over verified pairs (small by construction)
     parent: dict[int, int] = {}

@@ -1,6 +1,8 @@
 """Training-data ops: dedup on planted near-duplicates, similarity search,
 text stats, multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -76,6 +78,77 @@ class TestDedup:
         pairs = simhash_dedup(rd.from_pandas(df), hamming_max=6).to_pandas()
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["a_id"], pairs["b_id"])}
         assert (5, 42) in got or (42, 43) in got  # identical docs → hamming 0
+
+    def test_minhash_verify_runs_distributed(self, tmp_path, monkeypatch):
+        """The exact-Jaccard verification must run on the cluster, not the
+        driver: poison the DRIVER process's shingle kernel and plant a hot
+        bucket with a large candidate set — the pipeline only succeeds if
+        every shingle computation (sign + verify) happens in worker
+        processes, which import the module fresh and never see the patch."""
+        import ray.data as rd
+
+        from oplogtoredis_ray.pipelines import dedup
+
+        rng = np.random.default_rng(11)
+        words = BASE.split()
+        hot = " ".join(words[:12])  # 30 identical docs → C(30,2) candidates/band
+        docs = [hot] * 30 + [
+            " ".join(words[j] for j in rng.integers(0, len(words), 30))
+            for _ in range(10)
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+        )
+
+        def _driver_poison(*a, **k):
+            raise AssertionError("shingle_hashes ran on the driver")
+
+        monkeypatch.setattr(dedup, "shingle_hashes", _driver_poison)
+        od = str(tmp_path / "oracle")
+        out = minhash_lsh_dedup(
+            rd.from_pandas(df), shingle_k=3, jaccard_threshold=0.7,
+            materialize_dir=od,
+        ).to_pandas()
+        cl = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert all(cl[i] == 0 for i in range(30))  # hot family → one cluster
+        assert all(cl[i] != 0 for i in range(30, 40))  # others stay out of it
+        # shingle export written by the distributed explode stage
+        import glob as _glob
+
+        files = _glob.glob(os.path.join(od, "minhash_shingles", "*.parquet"))
+        assert files
+        # no truncation at the default cap; stats exported either way
+        assert dedup.LAST_TRUNCATION_STATS["dropped_ids"] == 0
+        assert os.path.exists(os.path.join(od, "minhash_metrics.json"))
+
+    def test_minhash_hot_bucket_truncation_counted(self, tmp_path):
+        """candidate_cap knob: a hot bucket larger than the cap truncates,
+        and the GLOBAL lost-recall count is surfaced (not just logged)."""
+        import json
+
+        import ray.data as rd
+
+        from oplogtoredis_ray.pipelines import dedup
+
+        words = BASE.split()
+        hot = " ".join(words[:12])
+        df = pd.DataFrame(
+            {"doc_id": np.arange(30, dtype=np.int64), "text": [hot] * 30}
+        )
+        od = str(tmp_path / "oracle")
+        out = minhash_lsh_dedup(
+            rd.from_pandas(df), shingle_k=3, jaccard_threshold=0.7,
+            materialize_dir=od, candidate_cap=5,
+        ).to_pandas()
+        stats = dedup.LAST_TRUNCATION_STATS
+        assert stats["candidate_cap"] == 5
+        assert stats["truncated_buckets"] > 0
+        assert stats["dropped_ids"] > 0
+        with open(os.path.join(od, "minhash_metrics.json")) as f:
+            assert json.load(f) == stats
+        # capped ids still cluster; ids beyond the cap degrade to singletons
+        cl = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert sum(1 for i in range(30) if cl[i] == 0) >= 5
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -24,7 +24,6 @@ and the near-dup derivation replays from the exported MinHash intermediates
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 
@@ -35,14 +34,18 @@ import pyarrow.compute as pc
 
 class CurateEnrich:
     """Batch stage: doc → (doc_id, text, n_tokens, quality_bucket,
-    lang_pred, content_hash) in one vectorized pass."""
+    lang_pred, content_h1/h2) in one vectorized pass.  The content hash is
+    the 128-bit buffer-level polynomial hash (functions/fingerprint) — a
+    dedup grouping key equivalent to grouping by the normalized text, which
+    is what the SQL oracle does (via md5 of the same normalization); no
+    per-row cryptographic hashing anywhere in the curation hot path."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from oplogtoredis_ray.functions.fingerprint import normalize_text
+        from oplogtoredis_ray.functions.fingerprint import content_hash128
         from oplogtoredis_ray.stages.text import (
             _token_lists,
             alpha_counts,
@@ -56,8 +59,7 @@ class CurateEnrich:
         n_alpha = alpha_counts(text).to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = np.where(n_chars > 0, (10 * n_alpha) // np.maximum(n_chars, 1), 0)
         flat, parents, n_docs = _token_lists(text)
-        texts = text.to_pylist()
-        chash = [hashlib.md5(normalize_text(t).encode()).hexdigest() for t in texts]
+        h1, h2 = content_hash128(text)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -65,7 +67,8 @@ class CurateEnrich:
                 "n_tokens": n_tok,
                 "quality_bucket": pa.array(bucket, type=pa.int64()),
                 "lang_pred": lang_id_ngram(flat, parents, n_docs),
-                "content_hash": pa.array(chash, type=pa.string()),
+                "content_h1": pa.array(h1.view(np.int64), type=pa.int64()),
+                "content_h2": pa.array(h2.view(np.int64), type=pa.int64()),
             }
         )
 
@@ -102,26 +105,19 @@ def curate_corpus(
     filtered = enriched.map_batches(keep, batch_format="pyarrow")
 
     # coarse-bucket exchange + vectorized in-task dedup: grouping directly
-    # on content_hash would make Ray dispatch one UDF per (corpus-sized)
+    # on the content hash would make Ray dispatch one UDF per (corpus-sized)
     # group — the exchange key is hash-bucket, the exact dedup is a
     # vectorized drop_duplicates inside the task
-    from oplogtoredis_ray.pipelines.dedup import NUM_COARSE_BUCKETS
+    from oplogtoredis_ray.pipelines.dedup import coarse_bucket_from_h64
 
     def add_hash_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        hb = pd.util.hash_pandas_object(
-            pd.Series(t["content_hash"].to_pylist()), index=False
-        ).to_numpy()
-        return t.append_column(
-            "hash_bucket",
-            pa.array((hb % NUM_COARSE_BUCKETS).astype(np.int64), type=pa.int64()),
-        )
+        hb = coarse_bucket_from_h64(t["content_h1"].to_numpy(zero_copy_only=False))
+        return t.append_column("hash_bucket", pa.array(hb, type=pa.int64()))
 
     def first_per_hash(g):
         return (
             g.sort_values(id_col, kind="mergesort")
-            .drop_duplicates("content_hash", keep="first")
+            .drop_duplicates(["content_h1", "content_h2"], keep="first")
             .drop(columns=["hash_bucket"])
         )
 

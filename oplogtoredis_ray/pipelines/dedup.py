@@ -1,8 +1,9 @@
 """Deduplication pipelines for training-data curation.
 
-- exact: content-hash (md5 of normalized text) → hash-partitioned groupby →
-  keep min doc_id per hash.  The shuffle moves only (hash, doc_id) pairs,
-  never the text.
+- exact: 128-bit vectorized content hash of normalized text (a grouping
+  key ≡ the normalized text itself; the SQL oracle groups by md5 of the
+  same normalization) → hash-partitioned groupby → keep min doc_id per
+  hash.  The shuffle moves only (hash, doc_id) pairs, never the text.
 - MinHash + LSH near-dup: shingle → minhash signature (vectorized
   universal hashing) → banded bucketing → groupby(band, bucket) → candidate
   pairs → DISTRIBUTED exact shingle-Jaccard verification (shingle explode
@@ -27,7 +28,6 @@ can reuse the fingerprints without recomputing them.
 
 from __future__ import annotations
 
-import hashlib
 import logging
 import os
 import shutil
@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from oplogtoredis_ray.functions.fingerprint import normalize_text, shingle_hashes
+from oplogtoredis_ray.functions.fingerprint import shingle_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -52,20 +52,38 @@ def _rewrite_parquet(ds, path: str) -> None:
     ds.write_parquet(path)
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def coarse_bucket_from_h64(h_int64: np.ndarray) -> np.ndarray:
+    """64-way exchange bucket from a 64-bit hash column: golden-ratio mix
+    then mod so the bucket draws on all bits, not just the low ones."""
+    with np.errstate(over="ignore"):
+        mixed = h_int64.view(np.uint64) * _GOLDEN
+    return (mixed % np.uint64(NUM_COARSE_BUCKETS)).astype(np.int64)
+
+
 class ContentHash:
-    """Batch stage: append md5-based content hash of normalized text."""
+    """Batch stage: append the 128-bit vectorized content hash (two int64
+    columns) of the normalized text.  A grouping KEY, not a digest anyone
+    compares — the SQL oracle groups by md5(normalized text), and grouping
+    by any collision-free function of the normalized text is identical, so
+    the per-row ``hashlib`` loop is replaced by the buffer-level polynomial
+    hash (functions/fingerprint.poly_hash_batch)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        hashes = [hashlib.md5(normalize_text(t).encode()).hexdigest() for t in texts]
+        from oplogtoredis_ray.functions.fingerprint import content_hash128
+
+        h1, h2 = content_hash128(batch[self.text_col])
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "content_hash": pa.array(hashes, type=pa.string()),
+                "content_h1": pa.array(h1.view(np.int64), type=pa.int64()),
+                "content_h2": pa.array(h2.view(np.int64), type=pa.int64()),
             }
         )
 
@@ -82,16 +100,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        hb = pd.util.hash_pandas_object(
-            pd.Series(t["content_hash"].to_pylist()), index=False
-        ).to_numpy()
-        return t.append_column(
-            "hash_bucket",
-            pa.array((hb % NUM_COARSE_BUCKETS).astype(np.int64), type=pa.int64()),
+        hb = coarse_bucket_from_h64(
+            t["content_h1"].to_numpy(zero_copy_only=False)
         )
+        return t.append_column("hash_bucket", pa.array(hb, type=pa.int64()))
 
     def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby("content_hash", sort=False)[id_col]
+        gg = g.groupby(["content_h1", "content_h2"], sort=False)[id_col]
         return pd.DataFrame(
             {id_col: gg.min().to_numpy(), "dup_count": gg.size().to_numpy()}
         )

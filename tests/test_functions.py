@@ -8,6 +8,7 @@ fingerprint kernels.  Golden values ported from:
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, strategies as st
 
 from oplogtoredis_ray.functions import (
     ObjectID,
@@ -227,6 +228,67 @@ def test_fingerprint_deterministic_and_normalized():
 
 def test_normalize_text():
     assert normalize_text("  A\tB\n C ") == "a b c"
+
+
+def test_poly_hash_batch_matches_rolling_fingerprint():
+    """The vectorized buffer-level batch hash must be bit-identical to the
+    scalar rolling fingerprint on normalized input (same polynomial), and
+    normalize_text_arrow must agree with normalize_text — incl. empties,
+    whitespace runs, unicode, chunked and sliced arrays."""
+    import pyarrow as pa
+
+    from oplogtoredis_ray.functions.fingerprint import (
+        content_hash128,
+        normalize_text_arrow,
+        poly_hash_batch,
+    )
+
+    texts = ["Hello  World", "", "  a\t b\nc  ", "héllo wörld", "x" * 5000,
+             "the same", "the same"]
+    arr = pa.array(texts, type=pa.string())
+    norm = normalize_text_arrow(arr)
+    assert norm.to_pylist() == [normalize_text(t) for t in texts]
+    want = np.array([rolling_fingerprint(t) for t in texts], dtype=np.uint64)
+    assert np.array_equal(poly_hash_batch(norm), want)
+    # chunked and sliced inputs hit the buffer-offset paths
+    chunked = pa.chunked_array([arr[:3], arr[3:]])
+    assert np.array_equal(poly_hash_batch(normalize_text_arrow(chunked)), want)
+    sliced = arr.slice(2, 4)
+    assert np.array_equal(
+        poly_hash_batch(normalize_text_arrow(sliced)), want[2:6]
+    )
+    # 128-bit composite: duplicates agree on both halves, distinct differ
+    h1, h2 = content_hash128(arr)
+    assert h1[5] == h1[6] and h2[5] == h2[6]
+    assert len(set(zip(h1.tolist(), h2.tolist()))) == 6
+
+
+# ASCII alphabet: Python `\s` and RE2 `\s` (Arrow / DuckDB) agree on ASCII
+# whitespace only — the documented normalization contract of this corpus
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=80,
+        ).map(lambda s: s.replace("x", "\t").replace("y", "\n")),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_poly_hash_batch_property(texts):
+    import pyarrow as pa
+
+    from oplogtoredis_ray.functions.fingerprint import (
+        normalize_text_arrow,
+        poly_hash_batch,
+    )
+
+    arr = pa.array(texts, type=pa.string())
+    got = poly_hash_batch(normalize_text_arrow(arr))
+    want = np.array(
+        [rolling_fingerprint(t) for t in texts], dtype=np.uint64
+    )
+    assert np.array_equal(got, want)
 
 
 def test_shingle_hashes():

@@ -129,6 +129,25 @@ class PipelineConfig:
     # so runtime denylist mutations take effect one window later than with
     # lookahead off (the default).
     window_lookahead: bool = False
+    # apply exchange topology (stages/actor_apply.py):
+    # - "groupby" (default): per-window `groupby(partition_id).map_groups`
+    #   sort-shuffle — simplest, stateless-per-window, best for one-shot
+    #   wide windows.
+    # - "actors": a standing pool of apply actors created once per run;
+    #   partitions map to actors by pid % A, feed tasks split parsed blocks
+    #   and ship sub-tables, manifests stay cached across windows.  Kills
+    #   the per-window shuffle fixed cost in sustained multi-window ingest
+    #   (≙ the reference's persistent per-shard publisher goroutines,
+    #   publisher.go:160-357).  Falls back to "groupby" when
+    #   distributed_salt_buckets > 1 (the two-stage salted fold needs the
+    #   pre-fold exchange anyway).
+    apply_mode: str = "groupby"
+    # standing-exchange width; None → min(num_partitions, cluster CPUs)
+    apply_actors: int | None = None
+    # CPU reservation per apply actor: 0 lets feed and fold phases alternate
+    # on the same cores (they are phase-disjoint within a window); reserve a
+    # fraction (e.g. 0.5) when co-tenant pipelines need guaranteed headroom
+    apply_actor_num_cpus: float = 0
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

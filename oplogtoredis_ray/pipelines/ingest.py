@@ -215,14 +215,45 @@ def run_window(
     end_us: int,
     pre_ds=None,
     deny_counter=None,
+    actor_pool=None,
+    prefed_epoch: int | None = None,
 ) -> pd.DataFrame:
     """Run one window as a single streaming Dataset pipeline; returns the
     per-partition stats frame (small).  ``pre_ds`` supplies a
-    (possibly already materialized) stateless half from window lookahead."""
+    (possibly already materialized) stateless half from window lookahead.
+
+    ``actor_pool`` switches the apply exchange to the standing actor pool
+    (stages/actor_apply.py): feed wave + warm finish instead of a per-window
+    sort shuffle.  ``prefed_epoch`` marks the window as already fed into
+    pool generation N by the lookahead thread; a mismatch with the pool's
+    current epoch (restart in between) triggers a safe re-feed — duplicate
+    feeds are removed by the fold's identity dedup."""
+    global LAST_WINDOW_EXEC_STATS
     wid = window_id_for(start_us, end_us)
     ds = pre_ds if pre_ds is not None else build_window_dataset(
         log_dir, lake_root, cfg, start_us, end_us, deny_counter=deny_counter
     )
+    if actor_pool is not None:
+        import ray
+        attempts = max(cfg.task_max_retries, 0) + 1
+        last_err: BaseException | None = None
+        for _attempt in range(attempts):
+            try:
+                if prefed_epoch != actor_pool.epoch:
+                    actor_pool.feed_dataset(ds, wid)
+                stats = actor_pool.finish_window(wid)
+                LAST_WINDOW_EXEC_STATS = ds.stats()
+                if len(stats) == 0:
+                    stats = empty_stats()
+                return stats
+            except ray.exceptions.RayError as e:
+                # actor death / feed-wave failure: recreate the standing
+                # exchange and replay the window (committed partitions skip
+                # via lineage; the rest re-apply idempotently)
+                last_err = e
+                prefed_epoch = None
+                actor_pool.recreate()
+        raise last_err  # bounded retries exhausted — fail-closed
     if cfg.distributed_salt_buckets > 1:
         # two-stage salted fold (north_rule skew): stage A pre-folds each
         # (partition, ts-salt) sub-group into pseudo-events — the hot
@@ -270,7 +301,6 @@ def run_window(
     # once per run in run_ingest — not here, where the lookahead thread's
     # concurrent set for window N+1 would race the restore)
     stats = stats_ds.to_pandas()
-    global LAST_WINDOW_EXEC_STATS
     LAST_WINDOW_EXEC_STATS = stats_ds.stats()  # Ray per-stage execution stats
     if len(stats) == 0:
         stats = empty_stats()
@@ -396,12 +426,22 @@ def run_ingest(
     # half, overlapping its read+parse with the current window's apply.
     # Apply order — and therefore exactly-once — is untouched.
     prefetch_pool = None
-    pending: tuple[str, object] | None = None  # (window_id, Future[Dataset])
+    # (window_id, Future[(Dataset, prefed_epoch|None)])
+    pending: tuple[str, object] | None = None
     if cfg.window_lookahead:
         from concurrent.futures import ThreadPoolExecutor
 
         _stabilize_lazy_imports()
         prefetch_pool = ThreadPoolExecutor(max_workers=1)
+
+    # standing apply exchange (stages/actor_apply.py): created once per run,
+    # reused across every window; the salted two-stage fold keeps the classic
+    # groupby plan (its pre-fold IS an exchange)
+    actor_pool = None
+    if cfg.apply_mode == "actors" and cfg.distributed_salt_buckets <= 1:
+        from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
+
+        actor_pool = ActorApplyPool(lake_root, cfg, cfg.apply_actors)
 
     # per-database denylist-filtered counts (≙ tail.go:109-114): the counter
     # actor is created lazily at the first window whose effective denylist is
@@ -426,9 +466,22 @@ def run_ingest(
         return wcfg
 
     def _prefetch(wcfg, s, e):
-        return build_window_dataset(
+        ds = build_window_dataset(
             log_dir, lake_root, wcfg, s, e, deny_counter=deny_counter
         ).materialize()
+        if actor_pool is None:
+            return ds, None
+        # deep lookahead: feed the NEXT window into the standing exchange
+        # while the current window's finish is still folding (accepts just
+        # buffer, keyed by window_id — apply order is untouched).  Epoch
+        # protocol: capture before, validate after; any pool restart in
+        # between invalidates the feed and run_window re-feeds from ds.
+        epoch = actor_pool.epoch
+        try:
+            actor_pool.feed_dataset(ds, window_id_for(s, e))
+        except Exception:
+            return ds, None
+        return ds, (epoch if actor_pool.epoch == epoch else None)
 
     # the errored-block budget lives in the global DataContext (snapshotted
     # per Dataset at creation); save it ONCE here and restore in the finally
@@ -450,11 +503,12 @@ def run_ingest(
                 continue
             wcfg = _effective_cfg()
             pre_ds = None
+            prefed_epoch = None
             if pending is not None:
                 p_wid, fut = pending
                 pending = None
                 if p_wid == wid:
-                    pre_ds = fut.result()
+                    pre_ds, prefed_epoch = fut.result()
                 else:  # boundary drift (shouldn't happen) → discard, fail open
                     fut.result()
             if prefetch_pool is not None:
@@ -469,6 +523,7 @@ def run_ingest(
             stats = run_window(
                 log_dir, lake_root, wcfg, start, end,
                 pre_ds=pre_ds, deny_counter=deny_counter,
+                actor_pool=actor_pool, prefed_epoch=prefed_epoch,
             )
             agg = {
                 "window_id": wid,
@@ -503,6 +558,8 @@ def run_ingest(
         # budget, or exit without a metrics file for the partial run
         if prefetch_pool is not None:
             prefetch_pool.shutdown(wait=False, cancel_futures=True)
+        if actor_pool is not None:
+            actor_pool.shutdown()
         _ctx.max_errored_blocks = _prev_errored
         from oplogtoredis_ray.state.counters import snapshot_counter
 

@@ -73,15 +73,25 @@ def _stats_row(pid: int, window_id: str, **kw) -> pd.DataFrame:
     return pd.DataFrame([base], columns=STATS_COLUMNS).astype(_STATS_DTYPES)
 
 
-def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
-    """Closure for ``groupby("partition_id").map_groups(...,
-    batch_format="pyarrow")`` — one call per partition per window (the
-    partitioning assumption this operator relies on: a partition's whole
-    window in one group, guaranteed by groupby).
+def apply_partition_window(
+    lake_root: str,
+    window_id: str,
+    cfg: PipelineConfig,
+    group,
+    manifest: Manifest,
+):
+    """Core exactly-once apply of ONE partition's window events (an Arrow
+    table containing only that partition's rows).  ``manifest`` is the
+    caller's view of the partition's current checkpoint — freshly read by
+    the task path, possibly a warm cache held by a persistent apply actor
+    (stages/actor_apply.py).  A stale cache is safe: the guarded monotonic
+    ``commit_manifest`` re-reads under the partition lock and refuses to
+    roll lineage backward, so the worst case is a wasted fold whose state
+    file becomes GC garbage.
 
-    The whole path is Arrow-native (stages/arrow_fold.py): event-scale
-    strings never box into Python objects — profiled at 3-4× the fold cost
-    when they do."""
+    Returns ``(stats_row, committed_manifest_or_None)`` — ``None`` means
+    the commit was superseded by a faster competing consumer and any cached
+    manifest for this partition must be invalidated."""
     import pyarrow as pa
 
     from oplogtoredis_ray.stages.arrow_fold import (
@@ -96,95 +106,97 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
     )
 
     payload_cols = tuple(cfg.payload_cols)
+    pid = int(group["partition_id"][0].as_py())
+    if window_id in manifest.lineage:
+        return (
+            _stats_row(pid, window_id, events_in=len(group), skipped=True),
+            manifest,
+        )
 
-    def apply_group(group: pa.Table) -> pd.DataFrame:
-        if len(group) == 0:
-            return empty_stats()
-        pid = int(group["partition_id"][0].as_py())
-        manifest = read_manifest(lake_root, pid)
-        if window_id in manifest.lineage:
-            return _stats_row(pid, window_id, events_in=len(group), skipped=True)
+    events_in = len(group)
+    g, dupes, below = order_dedup_filter(group, manifest.watermark)
 
-        events_in = len(group)
-        g, dupes, below = order_dedup_filter(group, manifest.watermark)
-
-        if len(g) == 0:
-            # nothing new: still record lineage so re-runs stay cheap
-            manifest.lineage.append(window_id)
-            commit_manifest(lake_root, manifest)
-            return _stats_row(
+    if len(g) == 0:
+        # nothing new: still record lineage so re-runs stay cheap
+        manifest.lineage.append(window_id)
+        ok = commit_manifest(lake_root, manifest)
+        return (
+            _stats_row(
                 pid, window_id, events_in=events_in, dupes_dropped=dupes,
                 below_watermark=below,
-            )
-
-        if len(g) > cfg.salt_rows_threshold:
-            fr = fold_arrow_chunked(g, payload_cols, cfg.salt_chunks)
-        else:
-            fr = fold_arrow(g, payload_cols)
-
-        if cfg.state_mode == "delta":
-            # append-only: write the window's folded pseudo-events; compact
-            # the chain once it exceeds the threshold (write amplification
-            # is then O(compact_threshold), not O(windows))
-            from oplogtoredis_ray.stages.arrow_fold import (
-                merge_chain,
-                pseudo_events_table,
-            )
-            from oplogtoredis_ray.state.lake import (
-                merge_partition_chain,
-                write_partition_delta_arrow,
-            )
-
-            delta = pseudo_events_table(fr, payload_cols)
-            merge_stats = {
-                "deletes": fr.n_deletes,
-                "upserts": fr.n_upserts,
-                "patches": fr.n_patches,
-                "patch_misses": 0,  # resolved lazily at merge-on-read
-            }
-            prior = manifest.chain()
-            if len(prior) + 1 > cfg.compact_threshold:
-                # compact directly with the in-memory delta — the delta file
-                # would be orphaned the moment the chain collapses
-                base = merge_partition_chain(lake_root, prior, payload_cols)
-                compacted = merge_chain([base, delta], payload_cols)
-                base_rel, rows = write_partition_state_arrow(
-                    lake_root, pid, window_id, compacted
-                )
-                state_files = [base_rel]
-                state_file = base_rel
-            else:
-                rel, _ = write_partition_delta_arrow(lake_root, pid, window_id, delta)
-                state_files = prior + [rel]
-                state_file = None
-                rows = -1  # unknown until compaction
-        else:
-            state = read_partition_state_arrow(lake_root, manifest, payload_cols)
-            new_state, merge_stats = merge_into_state(state, fr, payload_cols)
-            rel, rows = write_partition_state_arrow(lake_root, pid, window_id, new_state)
-            state_files = []
-            state_file = rel
-
-        # max identity triple = last row of the sorted table (tz-safe cast)
-        import pyarrow.compute as _pc
-
-        wts = int(_pc.cast(g["ts"], pa.int64())[-1].as_py())
-        new_manifest = Manifest(
-            partition_id=pid,
-            watermark=(wts, int(g["seq"][-1].as_py()), int(g["tx_idx"][-1].as_py())),
-            state_file=state_file,
-            state_files=state_files,
-            rows=rows,
-            lineage=manifest.lineage + [window_id],
-            metrics={
-                "last_window": window_id,
-                "events_applied": int(len(g)),
-                **{k: int(v) for k, v in merge_stats.items()},
-            },
+            ),
+            manifest if ok else None,
         )
-        commit_manifest(lake_root, new_manifest)
 
-        return _stats_row(
+    if len(g) > cfg.salt_rows_threshold:
+        fr = fold_arrow_chunked(g, payload_cols, cfg.salt_chunks)
+    else:
+        fr = fold_arrow(g, payload_cols)
+
+    if cfg.state_mode == "delta":
+        # append-only: write the window's folded pseudo-events; compact
+        # the chain once it exceeds the threshold (write amplification
+        # is then O(compact_threshold), not O(windows))
+        from oplogtoredis_ray.stages.arrow_fold import (
+            merge_chain,
+            pseudo_events_table,
+        )
+        from oplogtoredis_ray.state.lake import (
+            merge_partition_chain,
+            write_partition_delta_arrow,
+        )
+
+        delta = pseudo_events_table(fr, payload_cols)
+        merge_stats = {
+            "deletes": fr.n_deletes,
+            "upserts": fr.n_upserts,
+            "patches": fr.n_patches,
+            "patch_misses": 0,  # resolved lazily at merge-on-read
+        }
+        prior = manifest.chain()
+        if len(prior) + 1 > cfg.compact_threshold:
+            # compact directly with the in-memory delta — the delta file
+            # would be orphaned the moment the chain collapses
+            base = merge_partition_chain(lake_root, prior, payload_cols)
+            compacted = merge_chain([base, delta], payload_cols)
+            base_rel, rows = write_partition_state_arrow(
+                lake_root, pid, window_id, compacted
+            )
+            state_files = [base_rel]
+            state_file = base_rel
+        else:
+            rel, _ = write_partition_delta_arrow(lake_root, pid, window_id, delta)
+            state_files = prior + [rel]
+            state_file = None
+            rows = -1  # unknown until compaction
+    else:
+        state = read_partition_state_arrow(lake_root, manifest, payload_cols)
+        new_state, merge_stats = merge_into_state(state, fr, payload_cols)
+        rel, rows = write_partition_state_arrow(lake_root, pid, window_id, new_state)
+        state_files = []
+        state_file = rel
+
+    # max identity triple = last row of the sorted table (tz-safe cast)
+    import pyarrow.compute as _pc
+
+    wts = int(_pc.cast(g["ts"], pa.int64())[-1].as_py())
+    new_manifest = Manifest(
+        partition_id=pid,
+        watermark=(wts, int(g["seq"][-1].as_py()), int(g["tx_idx"][-1].as_py())),
+        state_file=state_file,
+        state_files=state_files,
+        rows=rows,
+        lineage=manifest.lineage + [window_id],
+        metrics={
+            "last_window": window_id,
+            "events_applied": int(len(g)),
+            **{k: int(v) for k, v in merge_stats.items()},
+        },
+    )
+    ok = commit_manifest(lake_root, new_manifest)
+
+    return (
+        _stats_row(
             pid,
             window_id,
             events_in=events_in,
@@ -192,6 +204,28 @@ def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
             below_watermark=below,
             rows_out=rows,
             **merge_stats,
-        )
+        ),
+        new_manifest if ok else None,
+    )
+
+
+def make_apply_fn(lake_root: str, window_id: str, cfg: PipelineConfig):
+    """Closure for ``groupby("partition_id").map_groups(...,
+    batch_format="pyarrow")`` — one call per partition per window (the
+    partitioning assumption this operator relies on: a partition's whole
+    window in one group, guaranteed by groupby).
+
+    The whole path is Arrow-native (stages/arrow_fold.py): event-scale
+    strings never box into Python objects — profiled at 3-4× the fold cost
+    when they do."""
+    import pyarrow as pa  # noqa: F401  (kept for map_groups type context)
+
+    def apply_group(group) -> pd.DataFrame:
+        if len(group) == 0:
+            return empty_stats()
+        pid = int(group["partition_id"][0].as_py())
+        manifest = read_manifest(lake_root, pid)
+        stats, _ = apply_partition_window(lake_root, window_id, cfg, group, manifest)
+        return stats
 
     return apply_group

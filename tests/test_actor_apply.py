@@ -1,0 +1,168 @@
+"""Persistent-actor apply exchange (stages/actor_apply.py) vs the oracle.
+
+The standing pool replaces the per-window groupby sort-shuffle; these tests
+pin (a) end-to-end equivalence with the sequential oracle across window
+counts and state layouts, (b) exactly-once under double-runs, duplicate
+feeds and actor death mid-run (≙ HA_test.go / restart_test.go semantics),
+and (c) the epoch protocol that invalidates prefed windows after a pool
+restart.
+"""
+
+import pandas as pd
+import pytest
+
+from oplogtoredis_ray.config import PipelineConfig
+from oplogtoredis_ray.pipelines.ingest import run_ingest, run_window, window_id_for
+from oplogtoredis_ray.sources.event_log import log_ts_bounds
+from oplogtoredis_ray.sources.synthetic import (
+    GeneratorSpec,
+    generate_event_log,
+    oracle_apply,
+    write_event_log,
+)
+from oplogtoredis_ray.state.lake import read_lake
+from oplogtoredis_ray.state.manifest import read_all_manifests
+
+SPEC = GeneratorSpec(
+    seed=11, n_conversations=60, mean_turns=3, duplicate_rate=0.05, txn_rate=0.05
+)
+
+
+@pytest.fixture(scope="module")
+def log_df():
+    return generate_event_log(SPEC)
+
+
+@pytest.fixture()
+def log_dir(tmp_path, log_df):
+    d = tmp_path / "events"
+    write_event_log(log_df, str(d))
+    return str(d)
+
+
+def _cfg(log_dir, n_windows, **kw):
+    lo, hi = log_ts_bounds(log_dir)
+    width = max((hi - lo) // n_windows + 1, 1)
+    defaults = dict(num_partitions=8, window_us=width, apply_mode="actors")
+    defaults.update(kw)
+    return PipelineConfig(**defaults)
+
+
+def _assert_matches_oracle(lake_root, log_df):
+    got = read_lake(lake_root).to_pandas()
+    got["ts"] = got["ts"].astype("int64")
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = oracle_apply(log_df)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestActorApply:
+    def test_matches_oracle_rewrite(self, log_dir, log_df, tmp_lake):
+        res = run_ingest(log_dir, tmp_lake, _cfg(log_dir, 4))
+        assert res.windows_run == 4
+        assert res.dupes_dropped > 0
+        _assert_matches_oracle(tmp_lake, log_df)
+
+    def test_matches_oracle_delta_lookahead(self, log_dir, log_df, tmp_lake):
+        # delta layout + deep lookahead (prefeed of window N+1 into the
+        # standing exchange while window N folds)
+        cfg = _cfg(
+            log_dir, 4, state_mode="delta", compact_threshold=2,
+            window_lookahead=True,
+        )
+        res = run_ingest(log_dir, tmp_lake, cfg)
+        assert res.windows_run == 4
+        _assert_matches_oracle(tmp_lake, log_df)
+
+    def test_double_run_is_idempotent(self, log_dir, log_df, tmp_lake):
+        cfg = _cfg(log_dir, 3)
+        run_ingest(log_dir, tmp_lake, cfg)
+        res2 = run_ingest(log_dir, tmp_lake, cfg)
+        assert res2.windows_run == 0  # resume = end of last committed window
+        _assert_matches_oracle(tmp_lake, log_df)
+
+    def test_duplicate_feed_is_deduped(self, log_dir, log_df, tmp_lake):
+        """A replayed feed wave (retried task / prefeed + re-feed race)
+        buffers every event twice; the fold's identity dedup must drop the
+        second copy — the lake is unchanged vs the oracle."""
+        from oplogtoredis_ray.pipelines.ingest import build_window_dataset
+        from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
+
+        cfg = _cfg(log_dir, 1)
+        lo, hi = log_ts_bounds(log_dir)
+        from oplogtoredis_ray.state.lake_config import write_or_check_lake_config
+
+        write_or_check_lake_config(tmp_lake, cfg)
+        pool = ActorApplyPool(tmp_lake, cfg, num_actors=3)
+        try:
+            wid = window_id_for(lo - 1, hi)
+            ds = build_window_dataset(log_dir, tmp_lake, cfg, lo - 1, hi).materialize()
+            n1 = pool.feed_dataset(ds, wid)
+            n2 = pool.feed_dataset(ds, wid)  # duplicate wave
+            assert n1 == n2 == len(log_df)
+            stats = pool.finish_window(wid)
+            # every original event arrived twice; at least half the input is
+            # dropped as exact identity replays
+            assert int(stats["dupes_dropped"].sum()) >= len(log_df) // 2
+        finally:
+            pool.shutdown()
+        _assert_matches_oracle(tmp_lake, log_df)
+
+    def test_actor_death_replays_window(self, log_dir, log_df, tmp_lake):
+        """Killing a pool member makes the feed/finish wave fail; run_window
+        must recreate the pool (epoch bump) and replay the window to a
+        correct lake — ≙ restart_test.go:50-64 bounded re-processing."""
+        import ray
+
+        from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
+        from oplogtoredis_ray.state.lake_config import write_or_check_lake_config
+
+        cfg = _cfg(log_dir, 1)
+        write_or_check_lake_config(tmp_lake, cfg)
+        lo, hi = log_ts_bounds(log_dir)
+        pool = ActorApplyPool(tmp_lake, cfg, num_actors=3)
+        try:
+            epoch0 = pool.epoch
+            ray.kill(pool.actors[1], no_restart=True)
+            stats = run_window(
+                log_dir, tmp_lake, cfg, lo - 1, hi, actor_pool=pool
+            )
+            assert pool.epoch > epoch0  # the pool was recreated
+            assert int(stats["events_in"].sum()) == len(log_df)
+        finally:
+            pool.shutdown()
+        _assert_matches_oracle(tmp_lake, log_df)
+        wid = window_id_for(lo - 1, hi)
+        for m in read_all_manifests(tmp_lake):
+            assert m.lineage == [wid]
+
+    def test_manifest_cache_warm_across_windows(self, log_dir, log_df, tmp_lake):
+        """The same pool applies consecutive windows; cached manifests must
+        carry the lineage forward (no stale-watermark double-apply)."""
+        from oplogtoredis_ray.pipelines.ingest import build_window_dataset
+        from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
+        from oplogtoredis_ray.state.lake_config import write_or_check_lake_config
+
+        cfg = _cfg(log_dir, 2)
+        write_or_check_lake_config(tmp_lake, cfg)
+        lo, hi = log_ts_bounds(log_dir)
+        mid = lo - 1 + cfg.window_us
+        pool = ActorApplyPool(tmp_lake, cfg, num_actors=2)
+        try:
+            for s, e in [(lo - 1, mid), (mid, hi)]:
+                wid = window_id_for(s, e)
+                ds = build_window_dataset(log_dir, tmp_lake, cfg, s, e)
+                pool.feed_dataset(ds, wid)
+                pool.finish_window(wid)
+        finally:
+            pool.shutdown()
+        _assert_matches_oracle(tmp_lake, log_df)
+        lineages = {tuple(m.lineage) for m in read_all_manifests(tmp_lake)}
+        # every touched partition saw the two windows in order
+        for lin in lineages:
+            assert list(lin) == [
+                w for w in
+                [window_id_for(lo - 1, mid), window_id_for(mid, hi)]
+                if w in lin
+            ]

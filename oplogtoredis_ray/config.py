@@ -129,6 +129,16 @@ class PipelineConfig:
     # so runtime denylist mutations take effect one window later than with
     # lookahead off (the default).
     window_lookahead: bool = False
+    # lookahead depth: number of future windows whose stateless half may be
+    # in flight concurrently (each is an independent streaming Dataset
+    # execution; they share the cluster and pipeline against each other).
+    # Depth D means up to D windows materialized (and, in actor mode,
+    # prefed) ahead, so the serial per-window read+parse latency stops
+    # being the critical path of sustained ingest.  Costs: up to D+1
+    # windows resident (object store + actor buffers) and a ≤ D-window lag
+    # on runtime denylist mutations.  Only meaningful with
+    # window_lookahead=True.
+    lookahead_depth: int = 1
     # apply exchange topology (stages/actor_apply.py):
     # - "groupby" (default): per-window `groupby(partition_id).map_groups`
     #   sort-shuffle — simplest, stateless-per-window, best for one-shot

@@ -426,13 +426,14 @@ def run_ingest(
     # half, overlapping its read+parse with the current window's apply.
     # Apply order — and therefore exactly-once — is untouched.
     prefetch_pool = None
-    # (window_id, Future[(Dataset, prefed_epoch|None)])
-    pending: tuple[str, object] | None = None
+    # window_id -> Future[(Dataset, prefed_epoch|None)]
+    pending: dict[str, object] = {}
+    depth = max(int(cfg.lookahead_depth), 1)
     if cfg.window_lookahead:
         from concurrent.futures import ThreadPoolExecutor
 
         _stabilize_lazy_imports()
-        prefetch_pool = ThreadPoolExecutor(max_workers=1)
+        prefetch_pool = ThreadPoolExecutor(max_workers=depth)
 
     # standing apply exchange (stages/actor_apply.py): created once per run,
     # reused across every window; the salted two-stage fold keeps the classic
@@ -468,12 +469,15 @@ def run_ingest(
     def _prefetch(wcfg, s, e):
         ds = build_window_dataset(
             log_dir, lake_root, wcfg, s, e, deny_counter=deny_counter
-        ).materialize()
+        )
         if actor_pool is None:
-            return ds, None
-        # deep lookahead: feed the NEXT window into the standing exchange
-        # while the current window's finish is still folding (accepts just
-        # buffer, keyed by window_id — apply order is untouched).  Epoch
+            return ds.materialize(), None
+        # deep lookahead, actor mode: stream the LAZY dataset straight into
+        # the standing exchange — feed tasks launch as parse emits bundles,
+        # so window latency ≈ parse time and no materialized copy doubles
+        # object-store residency.  Accepts just buffer, keyed by window_id —
+        # apply order is untouched.  A retry after pool restart re-executes
+        # read+parse (bounded, same as a groupby window replay).  Epoch
         # protocol: capture before, validate after; any pool restart in
         # between invalidates the feed and run_window re-feeds from ds.
         epoch = actor_pool.epoch
@@ -491,67 +495,144 @@ def run_ingest(
 
     _ctx = DataContext.get_current()
     _prev_errored = _ctx.max_errored_blocks
+    # fixed-width window schedule, precomputed so depth-D lookahead can
+    # address windows beyond the next one
+    schedule: list[tuple[int, int, str]] = []
+    s_ = start
+    while s_ < hi:
+        e_ = min(s_ + cfg.window_us, hi)
+        schedule.append((s_, e_, window_id_for(s_, e_)))
+        s_ = e_
+    def _commit(wid, s, e, stats, w_t0):
+        agg = {
+            "window_id": wid,
+            "start_us": s,
+            "end_us": e,
+            "wall_s": round(_time.monotonic() - w_t0, 4),
+            "partitions": int(len(stats)),
+            "events_in": int(stats["events_in"].sum()) if len(stats) else 0,
+            "dupes_dropped": int(stats["dupes_dropped"].sum()) if len(stats) else 0,
+            "below_watermark": int(stats["below_watermark"].sum()) if len(stats) else 0,
+            "upserts": int(stats["upserts"].sum()) if len(stats) else 0,
+            "deletes": int(stats["deletes"].sum()) if len(stats) else 0,
+            "patches": int(stats["patches"].sum()) if len(stats) else 0,
+            "patch_misses": int(stats["patch_misses"].sum()) if len(stats) else 0,
+        }
+        append_completed_window(lake_root, wid, e, agg)
+        result.windows_run += 1
+        result.events_in += agg["events_in"]
+        result.dupes_dropped += agg["dupes_dropped"]
+        result.below_watermark += agg["below_watermark"]
+        result.upserts += agg["upserts"]
+        result.deletes += agg["deletes"]
+        result.patches += agg["patches"]
+        result.patch_misses += agg["patch_misses"]
+        result.window_stats.append(agg)
+        if on_window is not None:
+            on_window(agg)
+
+    # pipelined finish drain (actor mode + lookahead): finish futures for
+    # window N+1 are SUBMITTED while window N's are still folding (per-actor
+    # submission order keeps per-partition window order), and window commits
+    # drain in schedule order.  (wid, s, e, wcfg, futures, submit_epoch, t0)
+    import collections
+
+    inflight: collections.deque = collections.deque()
+
+    def _drain_one():
+        import ray
+
+        wid, s, e, wcfg2, futs, sub_epoch, w_t0 = inflight.popleft()
+        if sub_epoch == actor_pool.epoch:
+            try:
+                stats = actor_pool.collect_finish(futs)
+                _commit(wid, s, e, stats, w_t0)
+                return
+            except ray.exceptions.RayError:
+                actor_pool.recreate()
+        # pool restarted since submission (buffers died with it): replay the
+        # window synchronously — committed partitions skip via lineage
+        stats = run_window(
+            log_dir, lake_root, wcfg2, s, e,
+            deny_counter=deny_counter, actor_pool=actor_pool,
+        )
+        _commit(wid, s, e, stats, w_t0)
+
     try:
-        while start < hi:
-            if max_windows is not None and result.windows_run >= max_windows:
+        for idx, (start, end, wid) in enumerate(schedule):
+            if (
+                max_windows is not None
+                and result.windows_run + len(inflight) >= max_windows
+            ):
                 break
-            end = min(start + cfg.window_us, hi)
-            wid = window_id_for(start, end)
             if wid in done:
-                start = end
                 result.windows_skipped += 1
                 continue
             wcfg = _effective_cfg()
+            if prefetch_pool is not None:
+                # top up the lookahead: keep up to `depth` windows' stateless
+                # halves in flight, INCLUDING the current one on the first
+                # iteration — an inline window-0 build would serialize ~one
+                # window of read+parse before any overlap starts (denylist
+                # snapshot taken NOW — documented ≤ depth-window lag on
+                # runtime mutations)
+                for s2, e2, wid2 in schedule[idx:]:
+                    if len(pending) >= depth:
+                        break
+                    if wid2 not in done and wid2 not in pending:
+                        pending[wid2] = prefetch_pool.submit(
+                            _prefetch, wcfg, s2, e2
+                        )
             pre_ds = None
             prefed_epoch = None
-            if pending is not None:
-                p_wid, fut = pending
-                pending = None
-                if p_wid == wid:
-                    pre_ds, prefed_epoch = fut.result()
-                else:  # boundary drift (shouldn't happen) → discard, fail open
-                    fut.result()
-            if prefetch_pool is not None:
-                nxt_start, nxt_end = end, min(end + cfg.window_us, hi)
-                if nxt_start < hi and window_id_for(nxt_start, nxt_end) not in done:
-                    pending = (
-                        window_id_for(nxt_start, nxt_end),
-                        # denylist snapshot taken NOW (documented one-window lag)
-                        prefetch_pool.submit(_prefetch, wcfg, nxt_start, nxt_end),
-                    )
+            fut = pending.pop(wid, None)
+            if fut is not None:
+                pre_ds, prefed_epoch = fut.result()
             w_t0 = _time.monotonic()
+            if actor_pool is not None and prefetch_pool is not None:
+                # pipelined path: ensure fed into the live pool generation,
+                # submit finishes, drain lazily in order
+                import ray
+
+                fed = prefed_epoch == actor_pool.epoch
+                if not fed:
+                    ds = pre_ds if pre_ds is not None else build_window_dataset(
+                        log_dir, lake_root, wcfg, start, end,
+                        deny_counter=deny_counter,
+                    )
+                    try:
+                        actor_pool.feed_dataset(ds, wid)
+                        fed = True
+                    except ray.exceptions.RayError:
+                        fed = False
+                if fed:
+                    inflight.append((
+                        wid, start, end, wcfg,
+                        actor_pool.submit_finish(wid), actor_pool.epoch, w_t0,
+                    ))
+                    while len(inflight) > depth:
+                        _drain_one()
+                    continue
+                # feed failed — pool is broken: drain whatever is in flight
+                # (each entry replays via the epoch check), recreate, then
+                # replay this window synchronously with run_window's retries
+                while inflight:
+                    _drain_one()
+                actor_pool.recreate()
+                stats = run_window(
+                    log_dir, lake_root, wcfg, start, end,
+                    deny_counter=deny_counter, actor_pool=actor_pool,
+                )
+                _commit(wid, start, end, stats, w_t0)
+                continue
             stats = run_window(
                 log_dir, lake_root, wcfg, start, end,
                 pre_ds=pre_ds, deny_counter=deny_counter,
                 actor_pool=actor_pool, prefed_epoch=prefed_epoch,
             )
-            agg = {
-                "window_id": wid,
-                "start_us": start,
-                "end_us": end,
-                "wall_s": round(_time.monotonic() - w_t0, 4),
-                "partitions": int(len(stats)),
-                "events_in": int(stats["events_in"].sum()) if len(stats) else 0,
-                "dupes_dropped": int(stats["dupes_dropped"].sum()) if len(stats) else 0,
-                "below_watermark": int(stats["below_watermark"].sum()) if len(stats) else 0,
-                "upserts": int(stats["upserts"].sum()) if len(stats) else 0,
-                "deletes": int(stats["deletes"].sum()) if len(stats) else 0,
-                "patches": int(stats["patches"].sum()) if len(stats) else 0,
-                "patch_misses": int(stats["patch_misses"].sum()) if len(stats) else 0,
-            }
-            append_completed_window(lake_root, wid, end, agg)
-            result.windows_run += 1
-            result.events_in += agg["events_in"]
-            result.dupes_dropped += agg["dupes_dropped"]
-            result.below_watermark += agg["below_watermark"]
-            result.upserts += agg["upserts"]
-            result.deletes += agg["deletes"]
-            result.patches += agg["patches"]
-            result.patch_misses += agg["patch_misses"]
-            result.window_stats.append(agg)
-            if on_window is not None:
-                on_window(agg)
-            start = end
+            _commit(wid, start, end, stats, w_t0)
+        while inflight:
+            _drain_one()
     finally:
         # always reached — a mid-run window failure must not leave the
         # in-flight prefetch executing on the cluster, leak the errored-block

@@ -70,9 +70,21 @@ from oplogtoredis_ray.state.manifest import Manifest, read_manifest
 
 class _ApplyActor:
     """One standing member of the apply exchange; owns
-    ``{pid : pid % num_actors == idx}`` and their manifest cache."""
+    ``{pid : pid % num_actors == idx}`` and their manifest cache.
+
+    ``accept`` runs in its own concurrency group ("ingest") so feed waves
+    for window N+1 are acked while the default group folds window N —
+    without it, feed tasks block behind multi-second folds and the
+    lookahead pipeline stalls.  Finishes stay in the default group
+    (size 1), which serializes them in submission order — the per-actor
+    window-order guarantee exactly-once relies on.  accept/finish touch
+    the buffer dict for DIFFERENT window keys by protocol (a window's
+    finish is only submitted after its feed wave fully acked), so the
+    lock only guards the dict structure itself."""
 
     def __init__(self, lake_root: str, cfg: PipelineConfig, idx: int, num_actors: int):
+        import threading
+
         self.lake_root = lake_root
         self.cfg = cfg
         self.idx = idx
@@ -80,21 +92,26 @@ class _ApplyActor:
         # window_id -> list[pa.Table] (mixed-pid sub-tables, split at finish)
         self.buffers: dict[str, list[pa.Table]] = {}
         self.manifests: dict[int, Manifest] = {}
+        self._lock = threading.Lock()
 
     def ping(self) -> int:
         return self.idx
 
+    @ray.method(concurrency_group="ingest")
     def accept(self, window_id: str, table: pa.Table) -> int:
         """Buffer one sub-table of a window.  Arrival order is irrelevant —
         order is created at finish time by the fold's explicit sort."""
-        self.buffers.setdefault(window_id, []).append(table)
+        with self._lock:
+            self.buffers.setdefault(window_id, []).append(table)
         return len(table)
 
     def drop_window(self, window_id: str) -> None:
-        self.buffers.pop(window_id, None)
+        with self._lock:
+            self.buffers.pop(window_id, None)
 
     def finish_window(self, window_id: str) -> pd.DataFrame:
-        tabs = self.buffers.pop(window_id, [])
+        with self._lock:
+            tabs = self.buffers.pop(window_id, [])
         if not tabs:
             return empty_stats()
         t = pa.concat_tables(tabs)
@@ -180,9 +197,14 @@ class ActorApplyPool:
         self._create()
 
     def _create(self) -> None:
-        Actor = ray.remote(num_cpus=self.cfg.apply_actor_num_cpus, max_restarts=0)(
-            _ApplyActor
-        )
+        Actor = ray.remote(
+            num_cpus=self.cfg.apply_actor_num_cpus,
+            max_restarts=0,
+            # "ingest" group acks feed waves while the default group folds;
+            # default group stays size 1 so finishes execute in submission
+            # order (the per-actor window-order guarantee)
+            concurrency_groups={"ingest": 1},
+        )(_ApplyActor)
         self.actors = [
             Actor.options(scheduling_strategy="SPREAD").remote(
                 self.lake_root, self.cfg, i, self.num_actors
@@ -190,7 +212,10 @@ class ActorApplyPool:
             for i in range(self.num_actors)
         ]
         self.epoch += 1
-        ray.get([a.ping.remote() for a in self.actors])  # fail fast
+        # NO ping barrier: actor spawn (one fresh worker process each)
+        # overlaps the first window's read+parse; a dead-on-arrival actor
+        # surfaces at the first accept/finish and trips the normal
+        # recreate-and-replay path
 
     def recreate(self) -> None:
         """Full restart: survivors may hold partial buffers for the failed
@@ -212,10 +237,22 @@ class ActorApplyPool:
                 )
         return int(sum(ray.get(feed_refs)))
 
-    def finish_window(self, window_id: str) -> pd.DataFrame:
-        frames = ray.get([a.finish_window.remote(window_id) for a in self.actors])
+    def submit_finish(self, window_id: str) -> list:
+        """Submit (don't await) the window's finish to every actor.  Safe to
+        call for window N+1 while N's finish is still folding: the default
+        concurrency group executes finishes per-actor in submission order,
+        so per-partition window order — and the watermark monotonicity
+        exactly-once rests on — is preserved without a driver-side barrier."""
+        return [a.finish_window.remote(window_id) for a in self.actors]
+
+    @staticmethod
+    def collect_finish(futures: list) -> pd.DataFrame:
+        frames = ray.get(futures)
         out = pd.concat(frames, ignore_index=True)
         return out if len(out) else empty_stats()
+
+    def finish_window(self, window_id: str) -> pd.DataFrame:
+        return self.collect_finish(self.submit_finish(window_id))
 
     def drop_window(self, window_id: str) -> None:
         import contextlib

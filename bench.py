@@ -200,11 +200,14 @@ def _run_bench() -> None:
     ray.shutdown()
 
 
-def _windowed_delta_run(sf_dir: str, n_events: int, reps: int = 1) -> dict:
-    """First-class sustained-ingest metric: 8 resumable windows in the delta
-    layout (compaction at compact_threshold=4) with a CONCURRENT garbage
-    collector, reporting throughput and write amplification
-    (bytes written to the lake / bytes of the final live state)."""
+def _windowed_delta_run(
+    sf_dir: str, n_events: int, reps: int = 1, n_windows: int = 8
+) -> dict:
+    """First-class sustained-ingest metric: ``n_windows`` resumable windows
+    in the delta layout (compaction at compact_threshold=4) with a
+    CONCURRENT garbage collector, reporting throughput and write
+    amplification (bytes written to the lake / bytes of the final live
+    state)."""
     import shutil
     import threading
 
@@ -220,18 +223,23 @@ def _windowed_delta_run(sf_dir: str, n_events: int, reps: int = 1) -> dict:
     P = 128 if n_events >= 10_000_000 else 64
     dcfg = PipelineConfig(
         num_partitions=P,
-        # blocks sized to ONE WINDOW's data share (1/8 of the log), not the
-        # whole log: data-driven and cluster-size-independent, but right-
-        # sized so per-window shuffle piece count doesn't dwarf the window
-        # (measured 35s → 20s at 32 cpus for the 8-window delta run)
+        # blocks sized to ONE WINDOW's data share, not the whole log:
+        # data-driven and cluster-size-independent, but right-sized so
+        # per-window piece count doesn't dwarf the window
         read_blocks=max(P // 4, 16),
-        window_us=(hi - lo) // 8 + 1,
+        window_us=(hi - lo) // n_windows + 1,
         state_mode="delta",
         compact_threshold=4,
-        # overlap window N+1's read+parse with window N's shuffle+apply
-        # (apply order — and exactly-once — unchanged); measured 28.8→21.8 s
-        # at 32 cpus and 67.5→33.3 s at 8 cpus on the 8-window sf0.1 run
+        # apply_mode="auto": the standing apply-actor exchange for ≥ 4
+        # windows (persistent per-partition-group actors, warm manifests,
+        # no per-window sort shuffle, pipelined finishes), the spillable
+        # groupby shuffle below that.  Deep lookahead streams up to
+        # `lookahead_depth` windows' read+parse into the exchange
+        # concurrently.  Measured on the 8-window sf0.1 run: 20.1 s → ~16 s
+        # at 32 cpus and 52.1 s → ~34 s at 8 cpus vs the round-2 groupby
+        # mode.
         window_lookahead=True,
+        lookahead_depth=min(n_windows, 6),
     )
     best = None
     for _ in range(reps):
@@ -309,7 +317,14 @@ def _scaling_child() -> None:
     DataContext.get_current().enable_progress_bars = False
     head = _headline(sf_dir, num_cpus)
     windowed = _windowed_delta_run(sf_dir, head["events"], reps=2)
-    print(json.dumps({"num_cpus": num_cpus, "windowed": windowed, **head}))
+    # production-width point on the window continuum: the same log as TWO
+    # half-log windows — isolates per-window fixed cost amortization from
+    # the 8-window stress case (1-window ≈ headline, 2-window, 8-window)
+    windowed2 = _windowed_delta_run(sf_dir, head["events"], reps=2, n_windows=2)
+    print(json.dumps({
+        "num_cpus": num_cpus, "windowed": windowed, "windowed2": windowed2,
+        **head,
+    }))
     ray.shutdown()
 
 
@@ -341,6 +356,10 @@ def _run_scaling() -> None:
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
     w_lo, w_hi = r_lo["windowed"], r_hi["windowed"]
     w_eff = (w_hi["events_per_sec"] / w_lo["events_per_sec"]) / (hi_cpus / lo_cpus)
+    w2_lo, w2_hi = r_lo["windowed2"], r_hi["windowed2"]
+    w2_eff = (
+        w2_hi["events_per_sec"] / w2_lo["events_per_sec"]
+    ) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
             {
@@ -354,15 +373,21 @@ def _run_scaling() -> None:
                 "speedup": round(tp_hi / tp_lo, 3),
                 "scaling_efficiency": round(eff, 3),
                 "events": r_lo["events"],
-                # the streaming-shaped variant: 8 resumable delta windows
-                # with compaction + concurrent GC — scaling measured on the
-                # windowed pipeline, not only the single-window replay
+                # the window continuum (1 / 2 / 8 windows over the SAME
+                # log): per-window fixed cost shrinks relative to W as
+                # window width grows — 1-window is the production-width
+                # bound, 8-window the resumability stress case
                 "windowed_sec_8": w_lo["sec"],
                 "windowed_sec_32": w_hi["sec"],
                 "windowed_events_per_sec_8": w_lo["events_per_sec"],
                 "windowed_events_per_sec_32": w_hi["events_per_sec"],
                 "windowed_scaling_efficiency": round(w_eff, 3),
                 "windowed_write_amplification": w_hi["write_amplification"],
+                "windowed2_sec_8": w2_lo["sec"],
+                "windowed2_sec_32": w2_hi["sec"],
+                "windowed2_events_per_sec_8": w2_lo["events_per_sec"],
+                "windowed2_events_per_sec_32": w2_hi["events_per_sec"],
+                "windowed2_scaling_efficiency": round(w2_eff, 3),
             }
         )
     )

@@ -140,18 +140,26 @@ class PipelineConfig:
     # window_lookahead=True.
     lookahead_depth: int = 1
     # apply exchange topology (stages/actor_apply.py):
-    # - "groupby" (default): per-window `groupby(partition_id).map_groups`
-    #   sort-shuffle — simplest, stateless-per-window, best for one-shot
-    #   wide windows.
+    # - "groupby": per-window `groupby(partition_id).map_groups`
+    #   sort-shuffle — stateless-per-window, best for one-shot wide windows
+    #   (the shuffle materializes in the SPILLABLE object store, and 1
+    #   reduce task per partition packs better than per-actor serial folds
+    #   when a window is most of the log).
     # - "actors": a standing pool of apply actors created once per run;
     #   partitions map to actors by pid % A, feed tasks split parsed blocks
-    #   and ship sub-tables, manifests stay cached across windows.  Kills
-    #   the per-window shuffle fixed cost in sustained multi-window ingest
-    #   (≙ the reference's persistent per-shard publisher goroutines,
-    #   publisher.go:160-357).  Falls back to "groupby" when
-    #   distributed_salt_buckets > 1 (the two-stage salted fold needs the
-    #   pre-fold exchange anyway).
-    apply_mode: str = "groupby"
+    #   and ship sub-tables, manifests stay cached across windows and
+    #   finishes pipeline in window order.  Kills the per-window shuffle
+    #   fixed cost in sustained multi-window ingest (≙ the reference's
+    #   persistent per-shard publisher goroutines, publisher.go:160-357).
+    #   Constraint: in-flight windows buffer in actor HEAP (not spillable) —
+    #   size window_us × lookahead_depth to cluster memory.
+    # - "auto" (default): "actors" when the run's schedule has ≥ 4 windows
+    #   (the measured crossover on the sf0.1 log: groupby wins at 1-2
+    #   windows, actors from ~4 up), else "groupby".  Data-driven — the
+    #   window count comes from log span / window_us, not cluster size.
+    # Any mode falls back to "groupby" when distributed_salt_buckets > 1
+    # (the two-stage salted fold needs the pre-fold exchange anyway).
+    apply_mode: str = "auto"
     # standing-exchange width; None → min(num_partitions, cluster CPUs)
     apply_actors: int | None = None
     # CPU reservation per apply actor: 0 lets feed and fold phases alternate

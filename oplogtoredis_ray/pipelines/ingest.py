@@ -435,11 +435,23 @@ def run_ingest(
         _stabilize_lazy_imports()
         prefetch_pool = ThreadPoolExecutor(max_workers=depth)
 
+    # count the windows this run will attempt (for apply_mode="auto")
+    n_sched = 0
+    s_probe = start
+    while s_probe < hi:
+        n_sched += 1
+        s_probe = min(s_probe + cfg.window_us, hi)
+
     # standing apply exchange (stages/actor_apply.py): created once per run,
     # reused across every window; the salted two-stage fold keeps the classic
-    # groupby plan (its pre-fold IS an exchange)
+    # groupby plan (its pre-fold IS an exchange).  "auto" picks actors for
+    # sustained multi-window runs (≥ 4 windows — the measured crossover) and
+    # the spillable groupby shuffle for one-shot wide windows.
     actor_pool = None
-    if cfg.apply_mode == "actors" and cfg.distributed_salt_buckets <= 1:
+    mode = cfg.apply_mode
+    if mode == "auto":
+        mode = "actors" if n_sched >= 4 else "groupby"
+    if mode == "actors" and cfg.distributed_salt_buckets <= 1:
         from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
 
         actor_pool = ActorApplyPool(lake_root, cfg, cfg.apply_actors)

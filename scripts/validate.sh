@@ -8,11 +8,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD"
 
-echo "== 1/3 pytest =="
-python -m pytest tests/ -x -q
+echo "== 1/3 pytest (fast tier: the default gate) =="
+python -m pytest tests/ -x -q -m "not slow"
 
-echo "== 2/3 driver contract (entry + every query vs its DuckDB oracle at sf0.01) =="
-python -m pytest tests/test_entry_contract.py -q
+echo "== 2/3 slow tier (driver contract vs DuckDB oracles at sf0.01 + process fault injection) =="
+python -m pytest tests/ -q -m "slow"
 
 echo "== 3/3 bench smoke (sf0.01) =="
 GRAFT_SF_DIR=/root/testdata/sf0.01 RAY_GRAFT_CPUS=8 OTR_BENCH_REPS=1 python bench.py

@@ -17,6 +17,10 @@ import time
 import pandas as pd
 import pytest
 
+# spawns real OS processes, each with its own Ray session — slow tier
+# (run via scripts/validate.sh; excluded from `pytest -m "not slow"`)
+pytestmark = pytest.mark.slow
+
 from oplogtoredis_ray.sources.synthetic import (
     GeneratorSpec,
     generate_event_log,

@@ -608,16 +608,11 @@ class SimHashStage:
         self.prefix_bits = prefix_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            hs = shingle_hashes(t, 1)  # word-level hashes
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            bitvec = (votes >= 0).astype(np.uint64)
-            out[i] = (bitvec << np.arange(64, dtype=np.uint64)).sum()
+        from oplogtoredis_ray.functions.fingerprint import simhash_batch
+
+        # whole-batch vectorized signatures (bit-identical to the per-doc
+        # unique-word-hash majority vote; parity pinned in test_functions)
+        out = simhash_batch(batch[self.text_col])
         signed = out.view(np.int64)
         return pa.table(
             {

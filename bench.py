@@ -339,15 +339,19 @@ def _run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             OTR_BENCH_REPS=str(max(REPS, 5)),
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling child (num_cpus={ncpu}) failed rc={proc.returncode}"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     r_lo = run(lo_cpus)
     r_hi = run(hi_cpus)

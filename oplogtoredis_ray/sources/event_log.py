@@ -61,6 +61,46 @@ def _file_schema_names(f: str) -> tuple[str, ...]:
     return names
 
 
+# file-level ts pruning: CDC logs are written roughly time-ordered, so most
+# files lie entirely outside any given window.  Without this, Ray packs ALL
+# files into the read tasks and only the handful of tasks holding the
+# window's files do real decode work — per-window read wall time stops
+# scaling with cluster size (measured: 1.3 s/window at 32 cpus on a
+# 128-file log where 16 files overlap each window; 0.3 s after pruning).
+# At 100 TB this is the manifest/statistics file-skipping every production
+# lake reader performs.  Cached like the schema probe; a file with any
+# stats-less row group returns None and survives every window (fail-open).
+_TS_RANGE_CACHE: dict[tuple[str, int, int], tuple[int, int] | None] = {}
+
+
+def _file_ts_range(f: str) -> tuple[int, int] | None:
+    st = os.stat(f)
+    key = (f, st.st_mtime_ns, st.st_size)
+    if key in _TS_RANGE_CACHE:
+        return _TS_RANGE_CACHE[key]
+    md = pq.read_metadata(f)
+    names = md.schema.to_arrow_schema().names
+    rng = None
+    if "ts" in names:
+        ts_idx = names.index("ts")
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(ts_idx).statistics
+            if stats is None or not stats.has_min_max:
+                ok = False
+                break
+            smin, smax = _to_us(stats.min), _to_us(stats.max)
+            lo = smin if lo is None else min(lo, smin)
+            hi = smax if hi is None else max(hi, smax)
+        if ok and lo is not None:
+            rng = (lo, hi)
+    _TS_RANGE_CACHE[key] = rng
+    if len(_TS_RANGE_CACHE) > 65536:  # bound for long follow sessions
+        _TS_RANGE_CACHE.clear()
+    return rng
+
+
 def unified_schema(log_dir: str) -> pa.Schema:
     """Metadata-only scan: unify all fragment schemas (missing columns become
     nullable)."""
@@ -146,11 +186,27 @@ def read_event_window(
     """
     import ray.data as rd
 
+    # file-level ts pruning first (cached footer stats): a window keeps only
+    # files whose [min,max] ts overlaps (start, end] — the rest never reach
+    # the read tasks, so the surviving files spread across ALL read slots
+    # instead of hiding inside a few multi-file tasks (see _file_ts_range)
+    all_files = _log_files(log_dir)
+    files_kept = []
+    for f in all_files:
+        rng = _file_ts_range(f)
+        if rng is not None and (rng[1] <= start_us or rng[0] > end_us):
+            continue
+        files_kept.append(f)
+    if not files_kept:
+        # window beyond every file's range: keep one file so read_parquet
+        # has a schema — the row filter yields the correct 0 rows
+        files_kept = all_files[:1]
+
     # one cached footer probe per file gives both the schema groups and the
     # unified column-name set (types unify downstream in the parse stage)
     groups: dict[tuple[str, ...], list[str]] = {}
     all_names: set[str] = set()
-    for f in _log_files(log_dir):
+    for f in files_kept:
         names = _file_schema_names(f)
         all_names.update(names)
         groups.setdefault(names, []).append(f)

@@ -17,8 +17,10 @@ This module replaces the per-window shuffle with a *standing* exchange:
 - Per window, one wave of `_feed_block` tasks splits each parsed block by
   owning actor (single vectorized argsort + zero-copy slices) and ships the
   sub-tables directly to the actors — ONE data hop, no sample stage, no
-  intermediate sorted blocks.  Feed tasks `ray.get` the accept acks, so the
-  wave completing proves every row is buffered.
+  intermediate sorted blocks.  Feed tasks return the accept-ack refs
+  without blocking on them (a blocked task would hold its CPU slot); the
+  DRIVER awaits the acks, so the wave completing proves every row is
+  buffered.
 - `finish_window` then runs the identical per-partition exactly-once fold
   (`apply.apply_partition_window` — shared with the task path) against the
   cached manifests.
@@ -146,19 +148,24 @@ class _ApplyActor:
 
 
 @ray.remote(max_retries=0)
-def _feed_block(actors: list, window_id: str, block: pa.Table) -> int:
+def _feed_block(actors: list, window_id: str, block: pa.Table) -> list:
     """Split one parsed block by owning actor (one vectorized stable argsort
-    + zero-copy slices; Arrow IPC truncates sliced buffers on send) and ship
-    the sub-tables.  ``max_retries=0``: a lost feed task must fail the wave
-    so the driver replays the whole window — a silent partial retry after an
-    actor restart would feed a dead pool generation.  Acks are awaited so
-    wave completion ⇒ full delivery."""
+    + zero-copy slices; Arrow IPC truncates sliced buffers on send), ship
+    the sub-tables, and return the accept-ack ObjectRefs WITHOUT waiting on
+    them: a task blocked in ``ray.get`` keeps its CPU slot while idle, so
+    under deep lookahead hundreds of blocked feed tasks oversubscribed the
+    worker pool and starved read+parse (observed: 133 workers on a 32-cpu
+    node, feed wall 10 s vs 6 s after this change).  The DRIVER awaits the
+    acks (`feed_dataset`), preserving wave-completion ⇒ full delivery.
+    ``max_retries=0``: a lost feed task must fail the wave so the driver
+    replays the whole window — a silent partial retry after an actor
+    restart would feed a dead pool generation."""
     if not isinstance(block, pa.Table):  # pandas/other block formats
         block = pa.Table.from_pandas(block, preserve_index=False)
     if len(block) == 0:
         # windows whose pushdown filter empties a read block yield 0-row
         # (sometimes schema-less) blocks — nothing to route
-        return 0
+        return []
     num_actors = len(actors)
     pids = block["partition_id"]
     if isinstance(pids, pa.ChunkedArray):
@@ -174,8 +181,7 @@ def _feed_block(actors: list, window_id: str, block: pa.Table) -> int:
         s, e = int(bounds[a]), int(bounds[a + 1])
         if e > s:
             acks.append(actors[a].accept.remote(window_id, t.slice(s, e - s)))
-    ray.get(acks)
-    return len(block)
+    return acks
 
 
 class ActorApplyPool:
@@ -228,14 +234,19 @@ class ActorApplyPool:
         """Drive the stateless half into the actors: one `_feed_block` task
         per block ref.  On a lazy dataset the bundles stream out as the
         read+parse executes, overlapping feed with parse; on a materialized
-        one this is pure task-launch + one data hop."""
+        one this is pure task-launch + one data hop.  Feed tasks return
+        their accept-ack refs (they do not block on them — see
+        `_feed_block`); the two-level `ray.get` here is the delivery
+        barrier: it returns only when every sub-table is buffered in its
+        owning actor, so a subsequent `submit_finish` cannot race a feed."""
         feed_refs = []
         for bundle in ds.iter_internal_ref_bundles():
             for block_ref in bundle.block_refs:
                 feed_refs.append(
                     _feed_block.remote(self.actors, window_id, block_ref)
                 )
-        return int(sum(ray.get(feed_refs)))
+        ack_refs = [r for refs in ray.get(feed_refs) for r in refs]
+        return int(sum(ray.get(ack_refs)))
 
     def submit_finish(self, window_id: str) -> list:
         """Submit (don't await) the window's finish to every actor.  Safe to

@@ -645,6 +645,11 @@ def run_ingest(
             _commit(wid, start, end, stats, w_t0)
         while inflight:
             _drain_one()
+        if actor_pool is not None:
+            # clean completion: let pending background compactions land so
+            # the lake ends in its steady compacted shape (failure paths
+            # skip this — long chains stay read-correct via merge-on-read)
+            actor_pool.drain_compactions()
     finally:
         # always reached — a mid-run window failure must not leave the
         # in-flight prefetch executing on the cluster, leak the errored-block

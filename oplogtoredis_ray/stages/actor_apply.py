@@ -129,22 +129,92 @@ class _ApplyActor:
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(pid_sorted)]))
         rows = []
+        to_compact = []
+        deferred = self.cfg.state_mode == "delta"
         for s, e in zip(starts, ends):
             pid = int(pid_sorted[s])
             group = t.slice(int(s), int(e - s))
-            manifest = self.manifests.get(pid)
+            with self._lock:
+                manifest = self.manifests.get(pid)
             if manifest is None:
                 manifest = read_manifest(self.lake_root, pid)
             stats, committed = apply_partition_window(
-                self.lake_root, window_id, self.cfg, group, manifest
+                self.lake_root, window_id, self.cfg, group, manifest,
+                defer_compaction=deferred,
             )
-            if committed is not None:
+            with self._lock:
+                if committed is not None:
+                    self.manifests[pid] = committed
+                else:
+                    # superseded by a competing consumer → cold-read next window
+                    self.manifests.pop(pid, None)
+            if (
+                deferred
+                and committed is not None
+                and len(committed.chain()) > self.cfg.compact_threshold
+            ):
+                to_compact.append(pid)
+            rows.append(stats)
+        if to_compact:
+            # background compaction: runs in the "compact" concurrency
+            # group, CONCURRENT with the next windows' folds — the inline
+            # compaction doubled those windows' fold wall time (measured
+            # 9.6 s vs 4.5 s per-window commit walls on the 8-window sf0.1
+            # run) and sat on the sustained-ingest critical path
+            me = ray.get_runtime_context().current_actor
+            for pid in to_compact:
+                me.compact_partition.remote(pid)
+        return pd.concat(rows, ignore_index=True)
+
+    @ray.method(concurrency_group="compact")
+    def compact_partition(self, pid: int) -> bool:
+        """Merge this partition's chain into one base file and swap it in
+        with a prefix-CAS (`commit_chain_rewrite`).  Runs off the fold
+        path; folds keep appending while the merge runs — appends commute
+        with the prefix rewrite, so the CAS still succeeds.  A lost CAS
+        (competing consumer rewrote the prefix) abandons the base file to
+        GC and retries at the next threshold crossing."""
+        from oplogtoredis_ray.state.lake import (
+            merge_partition_chain,
+            write_partition_state_arrow,
+        )
+        from oplogtoredis_ray.state.manifest import commit_chain_rewrite
+
+        with self._lock:
+            m = self.manifests.get(pid)
+        if m is None:
+            m = read_manifest(self.lake_root, pid)
+        chain = m.chain()
+        if len(chain) <= self.cfg.compact_threshold:
+            return False
+        payload = tuple(self.cfg.payload_cols)
+        base = merge_partition_chain(self.lake_root, chain, payload)
+        tag = f"{m.lineage[-1]}-bg" if m.lineage else "bg"
+        base_rel, nrows = write_partition_state_arrow(
+            self.lake_root, pid, tag, base
+        )
+        committed = commit_chain_rewrite(
+            self.lake_root, pid, chain, base_rel, nrows
+        )
+        with self._lock:
+            cur = self.manifests.get(pid)
+            if committed is not None and (
+                cur is None or len(cur.lineage) <= len(committed.lineage)
+            ):
                 self.manifests[pid] = committed
             else:
-                # superseded by a competing consumer → cold-read next window
+                # lost the CAS, or a fold appended (and cached) newer
+                # windows while the merge ran — that cached chain predates
+                # the rewrite, so drop it and cold-read the on-disk truth
+                # at the next fold
                 self.manifests.pop(pid, None)
-            rows.append(stats)
-        return pd.concat(rows, ignore_index=True)
+        return committed is not None
+
+    @ray.method(concurrency_group="compact")
+    def drain_compactions(self) -> bool:
+        """FIFO barrier on the compact group: returns once every
+        previously scheduled compaction has finished."""
+        return True
 
 
 @ray.remote(max_retries=0)
@@ -208,8 +278,9 @@ class ActorApplyPool:
             max_restarts=0,
             # "ingest" group acks feed waves while the default group folds;
             # default group stays size 1 so finishes execute in submission
-            # order (the per-actor window-order guarantee)
-            concurrency_groups={"ingest": 1},
+            # order (the per-actor window-order guarantee); "compact" runs
+            # background chain compaction without blocking either
+            concurrency_groups={"ingest": 1, "compact": 1},
         )(_ApplyActor)
         self.actors = [
             Actor.options(scheduling_strategy="SPREAD").remote(
@@ -271,6 +342,17 @@ class ActorApplyPool:
         for a in self.actors:
             with contextlib.suppress(Exception):
                 ray.get(a.drop_window.remote(window_id))
+
+    def drain_compactions(self) -> None:
+        """Barrier on every actor's compact group — called on CLEAN run
+        completion so the lake ends in its steady compacted shape.  Failure
+        paths skip it: leftover long chains are read-correct (merge-on-read)
+        and the next run's threshold crossing re-schedules them."""
+        import contextlib
+
+        for a in self.actors:
+            with contextlib.suppress(Exception):
+                ray.get(a.drain_compactions.remote())
 
     def shutdown(self) -> None:
         import contextlib

@@ -79,6 +79,7 @@ def apply_partition_window(
     cfg: PipelineConfig,
     group,
     manifest: Manifest,
+    defer_compaction: bool = False,
 ):
     """Core exactly-once apply of ONE partition's window events (an Arrow
     table containing only that partition's rows).  ``manifest`` is the
@@ -88,6 +89,13 @@ def apply_partition_window(
     ``commit_manifest`` re-reads under the partition lock and refuses to
     roll lineage backward, so the worst case is a wasted fold whose state
     file becomes GC garbage.
+
+    ``defer_compaction=True`` (standing-actor path, delta layout): never
+    compact inline — always append the window delta, and commit via
+    `commit_delta_append` (the incumbent-chain append that commutes with
+    the actor's BACKGROUND compactor).  The caller is responsible for
+    scheduling compaction when the returned manifest's chain exceeds
+    ``cfg.compact_threshold``.
 
     Returns ``(stats_row, committed_manifest_or_None)`` — ``None`` means
     the commit was superseded by a faster competing consumer and any cached
@@ -118,15 +126,25 @@ def apply_partition_window(
 
     if len(g) == 0:
         # nothing new: still record lineage so re-runs stay cheap
+        stats = _stats_row(
+            pid, window_id, events_in=events_in, dupes_dropped=dupes,
+            below_watermark=below,
+        )
+        if defer_compaction and cfg.state_mode == "delta":
+            # lineage-only append against the incumbent (a cached-chain
+            # commit_manifest here could resurrect a compacted-away chain)
+            from oplogtoredis_ray.state.manifest import commit_delta_append
+
+            lineage_manifest = Manifest(
+                partition_id=pid,
+                watermark=manifest.watermark,
+                lineage=manifest.lineage + [window_id],
+                metrics=manifest.metrics,
+            )
+            return stats, commit_delta_append(lake_root, lineage_manifest, None)
         manifest.lineage.append(window_id)
         ok = commit_manifest(lake_root, manifest)
-        return (
-            _stats_row(
-                pid, window_id, events_in=events_in, dupes_dropped=dupes,
-                below_watermark=below,
-            ),
-            manifest if ok else None,
-        )
+        return stats, (manifest if ok else None)
 
     if len(g) > cfg.salt_rows_threshold:
         fr = fold_arrow_chunked(g, payload_cols, cfg.salt_chunks)
@@ -154,7 +172,7 @@ def apply_partition_window(
             "patch_misses": 0,  # resolved lazily at merge-on-read
         }
         prior = manifest.chain()
-        if len(prior) + 1 > cfg.compact_threshold:
+        if not defer_compaction and len(prior) + 1 > cfg.compact_threshold:
             # compact directly with the in-memory delta — the delta file
             # would be orphaned the moment the chain collapses
             base = merge_partition_chain(lake_root, prior, payload_cols)
@@ -169,6 +187,7 @@ def apply_partition_window(
             state_files = prior + [rel]
             state_file = None
             rows = -1  # unknown until compaction
+            delta_rel = rel
     else:
         state = read_partition_state_arrow(lake_root, manifest, payload_cols)
         new_state, merge_stats = merge_into_state(state, fr, payload_cols)
@@ -193,7 +212,15 @@ def apply_partition_window(
             **{k: int(v) for k, v in merge_stats.items()},
         },
     )
-    ok = commit_manifest(lake_root, new_manifest)
+    if defer_compaction and cfg.state_mode == "delta":
+        # standing-actor path: append to the INCUMBENT chain under the
+        # partition lock so a concurrent background compaction commit is
+        # composed with, not clobbered
+        from oplogtoredis_ray.state.manifest import commit_delta_append
+
+        committed = commit_delta_append(lake_root, new_manifest, delta_rel)
+    else:
+        committed = new_manifest if commit_manifest(lake_root, new_manifest) else None
 
     return (
         _stats_row(
@@ -205,7 +232,7 @@ def apply_partition_window(
             rows_out=rows,
             **merge_stats,
         ),
-        new_manifest if ok else None,
+        committed,
     )
 
 

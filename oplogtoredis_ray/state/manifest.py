@@ -155,6 +155,103 @@ def commit_manifest(lake_root: str, manifest: Manifest) -> bool:
             fcntl.flock(lock, fcntl.LOCK_UN)
 
 
+def commit_delta_append(
+    lake_root: str, new_manifest: Manifest, delta_rel: str | None
+) -> Manifest | None:
+    """Append-commit for the delta layout (standing-actor apply path).
+
+    A delta file's CONTENT is chain-position-independent — it is just the
+    window's folded pseudo-events — so appending it commutes with a
+    concurrent prefix compaction (`commit_chain_rewrite`).  Under the
+    partition flock the incumbent manifest is re-read and this window's
+    delta is appended to the INCUMBENT chain, never to the caller's
+    (possibly compaction-stale) cached view: a cached-chain write here
+    could resurrect files the background compactor already made garbage,
+    racing the GC's grace window.
+
+    ``delta_rel=None`` commits a lineage-only advance (empty window).
+    Returns the committed manifest — the on-disk truth, which the caller
+    must adopt as its cache — or None when superseded (this window is
+    already in the incumbent lineage; the delta file becomes GC garbage).
+    """
+    import fcntl
+
+    pid = new_manifest.partition_id
+    path = manifest_path(lake_root, pid)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lock_path = os.path.join(os.path.dirname(path), f".p-{pid:05d}.lock")
+    wid = new_manifest.lineage[-1]
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            current = read_manifest(lake_root, pid)
+            if wid in set(current.lineage):
+                return None  # a faster competing consumer won this window
+            chain = current.chain() + ([delta_rel] if delta_rel else [])
+            committed = Manifest(
+                partition_id=pid,
+                watermark=max(current.watermark, new_manifest.watermark),
+                state_file=None,
+                state_files=chain,
+                rows=-1,
+                lineage=current.lineage + [wid],
+                metrics=new_manifest.metrics,
+            )
+            _atomic_write_json(path, committed.to_json())
+            return committed
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def commit_chain_rewrite(
+    lake_root: str,
+    partition_id: int,
+    expected_prefix: list[str],
+    base_rel: str,
+    rows: int,
+) -> Manifest | None:
+    """Prefix-CAS commit for background compaction: replace
+    ``expected_prefix`` at the head of the incumbent chain with the merged
+    base file.  Watermark and lineage are untouched — compaction changes
+    how state is stored, never what has been applied.
+
+    Succeeds even when folds appended new deltas after the compactor took
+    its snapshot (appends only grow the suffix).  Fails — returning None,
+    the base file becomes GC garbage — when the prefix itself changed
+    (a competing consumer's inline compaction or a concurrent rewrite).
+    """
+    import fcntl
+
+    path = manifest_path(lake_root, partition_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lock_path = os.path.join(
+        os.path.dirname(path), f".p-{partition_id:05d}.lock"
+    )
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            current = read_manifest(lake_root, partition_id)
+            chain = current.chain()
+            k = len(expected_prefix)
+            if chain[:k] != expected_prefix:
+                return None
+            new_chain = [base_rel] + chain[k:]
+            single = len(new_chain) == 1
+            committed = Manifest(
+                partition_id=partition_id,
+                watermark=current.watermark,
+                state_file=base_rel if single else None,
+                state_files=new_chain,
+                rows=rows if single else -1,
+                lineage=current.lineage,
+                metrics=current.metrics,
+            )
+            _atomic_write_json(path, committed.to_json())
+            return committed
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
 def read_all_manifests(lake_root: str) -> list[Manifest]:
     mdir = _manifest_dir(lake_root)
     if not os.path.isdir(mdir):

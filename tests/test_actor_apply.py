@@ -166,3 +166,100 @@ class TestActorApply:
                 [window_id_for(lo - 1, mid), window_id_for(mid, hi)]
                 if w in lin
             ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsyncCompaction:
+    """Background chain compaction (compact concurrency group): folds only
+    ever APPEND deltas; the compactor merges the chain off the fold path
+    and swaps it in with a prefix-CAS (`commit_chain_rewrite`)."""
+
+    def test_delta_ingest_compacts_async_and_matches_oracle(
+        self, log_dir, log_df, tmp_lake
+    ):
+        cfg = _cfg(
+            log_dir, 6, state_mode="delta", compact_threshold=2,
+            window_lookahead=True, lookahead_depth=3,
+        )
+        res = run_ingest(log_dir, tmp_lake, cfg)
+        assert res.windows_run == 6
+        _assert_matches_oracle(tmp_lake, log_df)
+        # run_ingest drains the compact group on clean completion: no
+        # partition may end deeper than one append past the threshold
+        chains = [len(m.chain()) for m in read_all_manifests(tmp_lake)]
+        assert max(chains) <= cfg.compact_threshold + 1, chains
+
+    def test_chain_rewrite_prefix_cas(self, tmp_path):
+        """commit_chain_rewrite succeeds when folds appended past the
+        snapshot (prefix intact) and fails when the prefix changed."""
+        from oplogtoredis_ray.state.manifest import (
+            Manifest,
+            commit_chain_rewrite,
+            commit_manifest,
+            read_manifest,
+        )
+
+        lake = str(tmp_path / "lake")
+        m = Manifest(
+            partition_id=0, watermark=(10, 0, 0),
+            state_files=["lake/p=00000/d1", "lake/p=00000/d2"],
+            rows=-1, lineage=["w1", "w2"],
+        )
+        assert commit_manifest(lake, m)
+        # concurrent fold appends d3 after the compactor snapshot [d1, d2]
+        m2 = Manifest(
+            partition_id=0, watermark=(20, 0, 0),
+            state_files=["lake/p=00000/d1", "lake/p=00000/d2", "lake/p=00000/d3"],
+            rows=-1, lineage=["w1", "w2", "w3"],
+        )
+        assert commit_manifest(lake, m2)
+        committed = commit_chain_rewrite(
+            lake, 0, ["lake/p=00000/d1", "lake/p=00000/d2"], "lake/p=00000/base", 5
+        )
+        assert committed is not None
+        assert committed.chain() == ["lake/p=00000/base", "lake/p=00000/d3"]
+        assert committed.lineage == ["w1", "w2", "w3"]  # untouched
+        assert committed.watermark == (20, 0, 0)
+        # a second CAS against the now-stale prefix must fail
+        assert commit_chain_rewrite(
+            lake, 0, ["lake/p=00000/d1", "lake/p=00000/d2"], "lake/p=00000/b2", 5
+        ) is None
+        assert read_manifest(lake, 0).chain()[0] == "lake/p=00000/base"
+
+    def test_delta_append_composes_with_rewrite(self, tmp_path):
+        """commit_delta_append appends to the INCUMBENT chain — a fold
+        whose cached view predates a background compaction must not
+        resurrect the pre-compaction chain."""
+        from oplogtoredis_ray.state.manifest import (
+            Manifest,
+            commit_delta_append,
+            commit_manifest,
+        )
+
+        lake = str(tmp_path / "lake")
+        pre = Manifest(
+            partition_id=3, watermark=(10, 0, 0),
+            state_files=["lake/p=00003/d1", "lake/p=00003/d2"],
+            rows=-1, lineage=["w1", "w2"],
+        )
+        assert commit_manifest(lake, pre)
+        # background compactor collapses [d1, d2] -> [base]
+        from oplogtoredis_ray.state.manifest import commit_chain_rewrite
+
+        assert commit_chain_rewrite(
+            lake, 3, ["lake/p=00003/d1", "lake/p=00003/d2"], "lake/p=00003/base", 7
+        ) is not None
+        # fold commits window w3 from its STALE cached view (chain [d1,d2])
+        fold_view = Manifest(
+            partition_id=3, watermark=(30, 1, 0),
+            state_files=["lake/p=00003/d1", "lake/p=00003/d2", "lake/p=00003/d3"],
+            rows=-1, lineage=["w1", "w2", "w3"],
+        )
+        committed = commit_delta_append(lake, fold_view, "lake/p=00003/d3")
+        assert committed is not None
+        # the append composed with the rewrite instead of clobbering it
+        assert committed.chain() == ["lake/p=00003/base", "lake/p=00003/d3"]
+        assert committed.watermark == (30, 1, 0)
+        assert committed.lineage == ["w1", "w2", "w3"]
+        # replaying the same window is superseded (exactly-once)
+        assert commit_delta_append(lake, fold_view, "lake/p=00003/d3-r") is None

@@ -155,6 +155,8 @@ def _run_bench() -> None:
         "ordered_rank",
         "agg_pricing",
         "text_stats",
+        "pack_sequences",
+        "stratified_sample",
         "dedup_exact_docs",
         "knn_brute",
         "ivf_topk",

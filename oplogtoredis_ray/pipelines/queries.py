@@ -404,6 +404,96 @@ def q_text_stats(sf_dir: str):
     return ds.map_batches(TextStats(), batch_format="pyarrow", concurrency=2)
 
 
+# --- training-batch construction ops -----------------------------------------
+
+# sequence packing: fixed token budget per training sequence, 32-way
+# distribution (a production packer derives the bucket from the shard id;
+# doc_id % B is that key for the synthetic corpus)
+PACK_TOKEN_BUDGET = 512
+NUM_PACK_BUCKETS = 32
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing: deterministically bin documents into
+    fixed token-budget sequences.
+
+    A sequential greedy packer is inherently stateful; the distributed
+    re-expression is FLOOR BINNING — within a bucket, docs are taken in
+    doc_id order and a doc belongs to sequence ``tokens_before // budget``
+    (one vectorized cumulative sum, no packer state), so every bucket
+    packs independently and the operator scales with buckets.  Output is
+    one row per packed sequence: doc count, token total, id span."""
+    from oplogtoredis_ray.stages.text import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(ids % NUM_PACK_BUCKETS, type=pa.int64()),
+                "n_tokens": pc.cast(token_counts(t["text"]), pa.int64()),
+            }
+        )
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        before = g["n_tokens"].cumsum() - g["n_tokens"]
+        seq = (before // PACK_TOKEN_BUDGET).astype("int64")
+        out = (
+            g.assign(seq_idx=seq)
+            .groupby("seq_idx", sort=True)
+            .agg(
+                n_docs=("doc_id", "size"),
+                seq_tokens=("n_tokens", "sum"),
+                first_doc=("doc_id", "min"),
+                last_doc=("doc_id", "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "bucket", int(g["bucket"].iloc[0]))
+        return out.astype("int64")
+
+    return (
+        ds.map_batches(tokens, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+    )
+
+
+# stratified sampling: per-stratum keep rates in per-mille, deterministic
+# multiplicative-hash gate (single source of truth for Ray AND the SQL
+# oracle).  The pre-mod keeps doc_id * KNUTH inside int64 on BOTH engines
+# (numpy would wrap silently, DuckDB would raise).
+STRATA_RATES = {"en": 500, "zh": 1000, "es": 1000, "de": 1000, "fr": 1000}
+STRATA_DEFAULT_RATE = 100
+_SAMPLE_KNUTH = 2654435761
+_SAMPLE_PREMOD = 86028121
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling by the ``lang`` column: rebalance
+    the corpus by downsampling the dominant stratum (en → 50%) and the
+    long tail (unknown langs → 10%) while keeping the rest.  The keep
+    decision is a pure function of (doc_id, lang) — reproducible across
+    runs and engines, no RNG state to coordinate; the rate map broadcasts
+    into the batch closure (tiny), the gate is vectorized per batch."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        rates = (
+            df["lang"].map(STRATA_RATES).fillna(STRATA_DEFAULT_RATE).astype("int64")
+        )
+        ids = df["doc_id"].astype("int64")
+        gate = ((ids % _SAMPLE_PREMOD) * _SAMPLE_KNUTH) % 1000
+        out = df.loc[gate < rates, ["doc_id", "lang"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
 def q_dedup_exact_docs(sf_dir: str):
     """Exact document dedup: survivor (min doc_id) + count per content hash."""
     from oplogtoredis_ray.pipelines.dedup import exact_dedup
@@ -1018,6 +1108,8 @@ QUERIES = {
     "changed_fields_json": q_changed_fields_json,
     "agg_pricing": q_agg_pricing,
     "text_stats": q_text_stats,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
     "dedup_exact_docs": q_dedup_exact_docs,
     "knn_brute": q_knn_brute,
     "ivf_topk": q_ivf_topk,
@@ -1285,6 +1377,38 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM lineitem GROUP BY 1, 2
         """,
         "text_stats": _text_stats_sql(),
+        "pack_sequences": f"""
+            WITH tk AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(doc_id % {NUM_PACK_BUCKETS} AS BIGINT) AS bucket,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT *,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS before_toks
+              FROM tk)
+            SELECT bucket,
+                   CAST(before_toks // {PACK_TOKEN_BUDGET} AS BIGINT) AS seq_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS last_doc
+            FROM c
+            GROUP BY bucket, seq_idx
+        """,
+        "stratified_sample": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents "
+            f"WHERE ((doc_id % {_SAMPLE_PREMOD}) * {_SAMPLE_KNUTH}) % 1000 < "
+            "CASE lang "
+            + " ".join(
+                f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items())
+            )
+            + f" ELSE {STRATA_DEFAULT_RATE} END"
+        ),
         "dedup_exact_docs": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                    CAST(COUNT(*) AS BIGINT) AS dup_count

@@ -525,3 +525,77 @@ def test_curate_corpus_composite(tmp_path):
     import os
 
     assert os.path.isdir(str(tmp_path / "work" / "curate_survivors"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBatchConstruction:
+    """Sequence packing + stratified sampling (training-batch ops)."""
+
+    def _docs_table(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(9)
+        words = BASE.split()
+        rows = []
+        langs = ["en", "en", "en", "de", "fr", "es", "xx"]
+        for i in range(120):
+            n = int(rng.integers(5, 120))
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": " ".join(words[j] for j in rng.integers(0, len(words), n)),
+                    "lang": langs[i % len(langs)],
+                    "source": "synth",
+                    "n_chars": 0,
+                }
+            )
+        d = tmp_path / "sf"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        return str(d)
+
+    def test_pack_sequences_budget_and_coverage(self, tmp_path):
+        from oplogtoredis_ray.pipelines.queries import (
+            PACK_TOKEN_BUDGET,
+            q_pack_sequences,
+        )
+
+        sf = self._docs_table(tmp_path)
+        out = q_pack_sequences(sf).to_pandas()
+        # every doc packed exactly once
+        assert int(out["n_docs"].sum()) == 120
+        # floor binning invariant: a sequence's PREDECESSOR tokens fit its
+        # index window, so tokens-before-start < budget * (seq_idx + 1)
+        for (_, seqs) in out.groupby("bucket"):
+            seqs = seqs.sort_values("seq_idx")
+            cum = 0
+            for _, r in seqs.iterrows():
+                assert cum // PACK_TOKEN_BUDGET == r["seq_idx"]
+                cum += r["seq_tokens"]
+        # id spans within a bucket are disjoint and ordered
+        for (_, seqs) in out.groupby("bucket"):
+            seqs = seqs.sort_values("seq_idx")
+            assert (seqs["first_doc"] <= seqs["last_doc"]).all()
+            assert (
+                seqs["first_doc"].iloc[1:].values > seqs["last_doc"].iloc[:-1].values
+            ).all()
+
+    def test_stratified_sample_rates_and_determinism(self, tmp_path):
+        from oplogtoredis_ray.pipelines.queries import (
+            STRATA_DEFAULT_RATE,
+            STRATA_RATES,
+            q_stratified_sample,
+        )
+
+        sf = self._docs_table(tmp_path)
+        out1 = q_stratified_sample(sf).to_pandas().sort_values("doc_id")
+        out2 = q_stratified_sample(sf).to_pandas().sort_values("doc_id")
+        pd.testing.assert_frame_equal(
+            out1.reset_index(drop=True), out2.reset_index(drop=True)
+        )  # pure function of (doc_id, lang)
+        # full-rate strata keep everything; others are strict subsets
+        kept = out1.groupby("lang")["doc_id"].count()
+        assert kept.get("de", 0) == 17 and kept.get("fr", 0) == 17
+        assert 0 < kept.get("en", 0) < 52  # ~50% of 52 en docs
+        assert kept.get("xx", 0) <= 17 * STRATA_DEFAULT_RATE // 100 + 3
+        assert STRATA_RATES["de"] == 1000

@@ -174,6 +174,9 @@ class _ApplyActor:
         with the prefix rewrite, so the CAS still succeeds.  A lost CAS
         (competing consumer rewrote the prefix) abandons the base file to
         GC and retries at the next threshold crossing."""
+        return self._compact_pid(pid)
+
+    def _compact_pid(self, pid: int) -> bool:
         from oplogtoredis_ray.state.lake import (
             merge_partition_chain,
             write_partition_state_arrow,
@@ -211,10 +214,18 @@ class _ApplyActor:
         return committed is not None
 
     @ray.method(concurrency_group="compact")
-    def drain_compactions(self) -> bool:
-        """FIFO barrier on the compact group: returns once every
-        previously scheduled compaction has finished."""
-        return True
+    def drain_compactions(self) -> int:
+        """End-of-run sweep: compact every owned partition whose chain
+        still exceeds the threshold.  A plain FIFO barrier would be racy —
+        the actor's self-submitted compactions and the driver's drain are
+        different submitters, so arrival order is not guaranteed; sweeping
+        makes the ≤-threshold postcondition deterministic.  Returns the
+        number of chains compacted."""
+        n = 0
+        for pid in range(self.idx, self.cfg.num_partitions, self.num_actors):
+            if self._compact_pid(pid):
+                n += 1
+        return n
 
 
 @ray.remote(max_retries=0)

@@ -422,7 +422,13 @@ def q_pack_sequences(sf_dir: str):
     doc_id order and a doc belongs to sequence ``tokens_before // budget``
     (one vectorized cumulative sum, no packer state), so every bucket
     packs independently and the operator scales with buckets.  Output is
-    one row per packed sequence: doc count, token total, id span."""
+    one row per packed sequence: doc count, token total, id span.
+
+    Partitioning assumption (the knob that carries this to 100 TB): the
+    per-bucket prefix sum needs one bucket per task, so NUM_PACK_BUCKETS
+    must be sized to ``corpus_tokens / per-task memory`` — at web scale
+    that is thousands of buckets, not 32; packing quality is unaffected
+    because sequences never cross buckets by construction."""
     from oplogtoredis_ray.stages.text import token_counts
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

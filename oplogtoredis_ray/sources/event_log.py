@@ -111,32 +111,24 @@ def unified_schema(log_dir: str) -> pa.Schema:
 def log_ts_bounds(log_dir: str) -> tuple[int, int]:
     """(min_ts_us, max_ts_us) over the log from Parquet row-group statistics —
     no data read.  ≙ the end-of-oplog probe (``$natural:-1`` findOne,
-    tail.go:222-250)."""
+    tail.go:222-250).  Layered on the cached per-file probe
+    (`_file_ts_range`), so follow-mode re-polls only stat unchanged files;
+    a file with stats-less row groups falls back to reading just its ts
+    column."""
     lo, hi = None, None
     for f in _log_files(log_dir):
-        md = pq.read_metadata(f)
-        names = md.schema.to_arrow_schema().names
-        ts_idx = names.index("ts")
-        for rg in range(md.num_row_groups):
-            stats = md.row_group(rg).column(ts_idx).statistics
-            if stats is None or not stats.has_min_max:
-                # fall back to reading just the ts column of this file
-                col = pq.read_table(f, columns=["ts"])["ts"]
-                import pyarrow.compute as pc
+        rng = _file_ts_range(f)
+        if rng is None:
+            col = pq.read_table(f, columns=["ts"])["ts"]
+            import pyarrow.compute as pc
 
-                if col.length():
-                    # TimestampScalar.value is already int64 microseconds
-                    fmin = int(pc.min(col).value)
-                    fmax = int(pc.max(col).value)
-                    lo = fmin if lo is None else min(lo, fmin)
-                    hi = fmax if hi is None else max(hi, fmax)
-                break
-            smin = stats.min
-            smax = stats.max
-            smin_us = _to_us(smin)
-            smax_us = _to_us(smax)
-            lo = smin_us if lo is None else min(lo, smin_us)
-            hi = smax_us if hi is None else max(hi, smax_us)
+            if col.length():
+                # TimestampScalar.value is already int64 microseconds
+                rng = (int(pc.min(col).value), int(pc.max(col).value))
+            else:
+                continue
+        lo = rng[0] if lo is None else min(lo, rng[0])
+        hi = rng[1] if hi is None else max(hi, rng[1])
     if lo is None:
         raise ValueError(f"event log at {log_dir} has no ts statistics")
     return lo, hi

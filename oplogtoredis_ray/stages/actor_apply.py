@@ -144,7 +144,14 @@ class _ApplyActor:
             )
             with self._lock:
                 if committed is not None:
-                    self.manifests[pid] = committed
+                    cur = self.manifests.get(pid)
+                    # strictly-newer-lineage wins; an EQUAL-length cache
+                    # entry is the background compactor's post-rewrite view
+                    # of this same commit (fresher chain) — keep it, or the
+                    # compactor would re-merge from the stale chain and
+                    # burn a guaranteed-to-lose CAS
+                    if cur is None or len(cur.lineage) < len(committed.lineage):
+                        self.manifests[pid] = committed
                 else:
                     # superseded by a competing consumer → cold-read next window
                     self.manifests.pop(pid, None)
@@ -358,12 +365,15 @@ class ActorApplyPool:
         """Barrier on every actor's compact group — called on CLEAN run
         completion so the lake ends in its steady compacted shape.  Failure
         paths skip it: leftover long chains are read-correct (merge-on-read)
-        and the next run's threshold crossing re-schedules them."""
+        and the next run's threshold crossing re-schedules them.  Sweeps
+        run on all actors concurrently (disjoint partitions) — awaiting
+        serially would cost the SUM of per-actor merge times."""
         import contextlib
 
-        for a in self.actors:
+        refs = [a.drain_compactions.remote() for a in self.actors]
+        for r in refs:
             with contextlib.suppress(Exception):
-                ray.get(a.drain_compactions.remote())
+                ray.get(r)
 
     def shutdown(self) -> None:
         import contextlib

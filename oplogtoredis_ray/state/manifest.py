@@ -187,16 +187,29 @@ def commit_delta_append(
             current = read_manifest(lake_root, pid)
             if wid in set(current.lineage):
                 return None  # a faster competing consumer won this window
-            chain = current.chain() + ([delta_rel] if delta_rel else [])
-            committed = Manifest(
-                partition_id=pid,
-                watermark=max(current.watermark, new_manifest.watermark),
-                state_file=None,
-                state_files=chain,
-                rows=-1,
-                lineage=current.lineage + [wid],
-                metrics=new_manifest.metrics,
-            )
+            if delta_rel is None:
+                # lineage-only advance (empty window): the chain layout —
+                # including a compacted base's plain-state pointer and
+                # known row count — is untouched
+                committed = Manifest(
+                    partition_id=pid,
+                    watermark=max(current.watermark, new_manifest.watermark),
+                    state_file=current.state_file,
+                    state_files=list(current.state_files),
+                    rows=current.rows,
+                    lineage=current.lineage + [wid],
+                    metrics=new_manifest.metrics,
+                )
+            else:
+                committed = Manifest(
+                    partition_id=pid,
+                    watermark=max(current.watermark, new_manifest.watermark),
+                    state_file=None,
+                    state_files=current.chain() + [delta_rel],
+                    rows=-1,
+                    lineage=current.lineage + [wid],
+                    metrics=new_manifest.metrics,
+                )
             _atomic_write_json(path, committed.to_json())
             return committed
         finally:

@@ -243,11 +243,11 @@ def _feed_block(actors: list, window_id: str, block: pa.Table) -> list:
     them: a task blocked in ``ray.get`` keeps its CPU slot while idle, so
     under deep lookahead hundreds of blocked feed tasks oversubscribed the
     worker pool and starved read+parse (observed: 133 workers on a 32-cpu
-    node, feed wall 10 s vs 6 s after this change).  The DRIVER awaits the
-    acks (`feed_dataset`), preserving wave-completion ⇒ full delivery.
-    ``max_retries=0``: a lost feed task must fail the wave so the driver
-    replays the whole window — a silent partial retry after an actor
-    restart would feed a dead pool generation."""
+    node).  The DRIVER awaits the acks (`feed_dataset`), preserving
+    wave-completion ⇒ full delivery.  ``max_retries=0``: a lost feed task
+    must fail the wave so the driver replays the whole window — a silent
+    partial retry after an actor restart would feed a dead pool
+    generation."""
     if not isinstance(block, pa.Table):  # pandas/other block formats
         block = pa.Table.from_pandas(block, preserve_index=False)
     if len(block) == 0:
@@ -327,7 +327,15 @@ class ActorApplyPool:
         their accept-ack refs (they do not block on them — see
         `_feed_block`); the two-level `ray.get` here is the delivery
         barrier: it returns only when every sub-table is buffered in its
-        owning actor, so a subsequent `submit_finish` cannot race a feed."""
+        owning actor, so a subsequent `submit_finish` cannot race a feed.
+
+        Design note: fusing the split INTO the parse execution (a routing
+        `map_batches` stage that awaits its own acks) was tried and
+        measured 3.5× WORSE — each actor's single ingest thread drains
+        accepts serially, so in-task ack waits pile route tasks up behind
+        it while they hold CPU slots.  The separate wave decouples ack
+        latency from task occupancy at the cost of one plasma round trip
+        of the parsed window."""
         feed_refs = []
         for bundle in ds.iter_internal_ref_bundles():
             for block_ref in bundle.block_refs:

@@ -153,7 +153,7 @@ class PipelineConfig:
     #   persistent per-shard publisher goroutines, publisher.go:160-357).
     #   Constraint: in-flight windows buffer in actor HEAP (not spillable) —
     #   size window_us × lookahead_depth to cluster memory.
-    # - "auto" (default): "actors" when the run's schedule has ≥ 4 windows
+    # - "auto" (default): "actors" when the run's schedule has ≥ 3 windows
     #   (the measured crossover on the sf0.1 log: groupby wins at 1-2
     #   windows, actors from ~4 up), else "groupby".  Data-driven — the
     #   window count comes from log span / window_us, not cluster size.

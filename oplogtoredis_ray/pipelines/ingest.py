@@ -445,12 +445,13 @@ def run_ingest(
     # standing apply exchange (stages/actor_apply.py): created once per run,
     # reused across every window; the salted two-stage fold keeps the classic
     # groupby plan (its pre-fold IS an exchange).  "auto" picks actors for
-    # sustained multi-window runs (≥ 4 windows — the measured crossover) and
+    # sustained multi-window runs (≥ 3 windows — the measured crossover,
+    # re-measured after the round-3 feed/pruning/compaction fixes) and
     # the spillable groupby shuffle for one-shot wide windows.
     actor_pool = None
     mode = cfg.apply_mode
     if mode == "auto":
-        mode = "actors" if n_sched >= 4 else "groupby"
+        mode = "actors" if n_sched >= 3 else "groupby"
     if mode == "actors" and cfg.distributed_salt_buckets <= 1:
         from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
 

@@ -232,8 +232,8 @@ def _windowed_delta_run(
         window_us=(hi - lo) // n_windows + 1,
         state_mode="delta",
         compact_threshold=4,
-        # apply_mode="auto": the standing apply-actor exchange for ≥ 4
-        # windows (persistent per-partition-group actors, warm manifests,
+        # apply_mode="auto": the standing apply-actor exchange when ≥ 3
+        # windows will execute (persistent per-partition-group actors, warm manifests,
         # no per-window sort shuffle, pipelined finishes), the spillable
         # groupby shuffle below that.  Deep lookahead streams up to
         # `lookahead_depth` windows' read+parse into the exchange

@@ -153,10 +153,12 @@ class PipelineConfig:
     #   persistent per-shard publisher goroutines, publisher.go:160-357).
     #   Constraint: in-flight windows buffer in actor HEAP (not spillable) —
     #   size window_us × lookahead_depth to cluster memory.
-    # - "auto" (default): "actors" when the run's schedule has ≥ 3 windows
-    #   (the measured crossover on the sf0.1 log: groupby wins at 1-2
-    #   windows, actors from ~4 up), else "groupby".  Data-driven — the
-    #   window count comes from log span / window_us, not cluster size.
+    # - "auto" (default): "actors" when the run will actually EXECUTE ≥ 3
+    #   windows (not-yet-committed ones — a resumed run with 1 remaining
+    #   window uses groupby even if the full schedule was wide), else
+    #   "groupby".  Crossover measured on the sf0.1 log: groupby wins at
+    #   1-2 windows, actors from 3 up.  Data-driven — the window count
+    #   comes from log span / window_us, not cluster size.
     # Any mode falls back to "groupby" when distributed_salt_buckets > 1
     # (the two-stage salted fold needs the pre-fold exchange anyway).
     apply_mode: str = "auto"
@@ -166,6 +168,11 @@ class PipelineConfig:
     # on the same cores (they are phase-disjoint within a window); reserve a
     # fraction (e.g. 0.5) when co-tenant pipelines need guaranteed headroom
     apply_actor_num_cpus: float = 0
+    # fault-injection hook (tests only): path to a one-shot flag file; the
+    # first apply actor to consume it raises mid-finish AFTER committing at
+    # least one partition (stages/actor_apply.py) — exercises the
+    # poison-on-failed-finish path with SURVIVING actors
+    test_fail_finish_flag: str | None = None
 
     def with_denylist(self, denied: set[str]) -> "PipelineConfig":
         from dataclasses import replace

@@ -97,6 +97,13 @@ def warmup_cluster(num_tasks: int | None = None) -> None:
 
 @dataclass
 class IngestResult:
+    """Aggregate ingest stats.  Caveat: after a mid-run pool failure the op
+    counters (upserts/deletes/patches) for REPLAYED windows are recovered
+    from each partition manifest's last-window metrics; a partition whose
+    later window also committed before the failure surfaced reports zeros
+    for the replayed window — the counters are lower bounds in that case
+    (metrics-only; the lake itself is exact)."""
+
     windows_run: int = 0
     windows_skipped: int = 0
     events_in: int = 0
@@ -216,7 +223,6 @@ def run_window(
     pre_ds=None,
     deny_counter=None,
     actor_pool=None,
-    prefed_epoch: int | None = None,
 ) -> pd.DataFrame:
     """Run one window as a single streaming Dataset pipeline; returns the
     per-partition stats frame (small).  ``pre_ds`` supplies a
@@ -224,10 +230,10 @@ def run_window(
 
     ``actor_pool`` switches the apply exchange to the standing actor pool
     (stages/actor_apply.py): feed wave + warm finish instead of a per-window
-    sort shuffle.  ``prefed_epoch`` marks the window as already fed into
-    pool generation N by the lookahead thread; a mismatch with the pool's
-    current epoch (restart in between) triggers a safe re-feed — duplicate
-    feeds are removed by the fold's identity dedup."""
+    sort shuffle.  The window is always (re-)fed here — the pipelined path
+    in ``run_ingest`` owns prefed windows itself, and duplicate feeds are
+    removed by the fold's identity dedup, so a redundant feed is merely a
+    wasted data hop, never a correctness issue."""
     global LAST_WINDOW_EXEC_STATS
     wid = window_id_for(start_us, end_us)
     ds = pre_ds if pre_ds is not None else build_window_dataset(
@@ -239,19 +245,18 @@ def run_window(
         last_err: BaseException | None = None
         for _attempt in range(attempts):
             try:
-                if prefed_epoch != actor_pool.epoch:
-                    actor_pool.feed_dataset(ds, wid)
+                actor_pool.feed_dataset(ds, wid)
                 stats = actor_pool.finish_window(wid)
                 LAST_WINDOW_EXEC_STATS = ds.stats()
                 if len(stats) == 0:
                     stats = empty_stats()
                 return stats
             except ray.exceptions.RayError as e:
-                # actor death / feed-wave failure: recreate the standing
-                # exchange and replay the window (committed partitions skip
-                # via lineage; the rest re-apply idempotently)
+                # actor death / feed-wave failure / poisoned finish:
+                # recreate the standing exchange and replay the window
+                # (committed partitions skip via lineage; the rest re-apply
+                # idempotently)
                 last_err = e
-                prefed_epoch = None
                 actor_pool.recreate()
         raise last_err  # bounded retries exhausted — fail-closed
     if cfg.distributed_salt_buckets > 1:
@@ -422,6 +427,15 @@ def run_ingest(
     result = IngestResult()
     done = {w["window_id"] for w in read_completed_windows(lake_root)}
 
+    # fixed-width window schedule, precomputed so depth-D lookahead can
+    # address windows beyond the next one
+    schedule: list[tuple[int, int, str]] = []
+    s_ = start
+    while s_ < hi:
+        e_ = min(s_ + cfg.window_us, hi)
+        schedule.append((s_, e_, window_id_for(s_, e_)))
+        s_ = e_
+
     # window lookahead: one-deep prefetch of the next window's stateless
     # half, overlapping its read+parse with the current window's apply.
     # Apply order — and therefore exactly-once — is untouched.
@@ -435,12 +449,10 @@ def run_ingest(
         _stabilize_lazy_imports()
         prefetch_pool = ThreadPoolExecutor(max_workers=depth)
 
-    # count the windows this run will attempt (for apply_mode="auto")
-    n_sched = 0
-    s_probe = start
-    while s_probe < hi:
-        n_sched += 1
-        s_probe = min(s_probe + cfg.window_us, hi)
+    # count the windows this run will actually EXECUTE (for apply_mode=
+    # "auto"): already-committed windows skip in O(1) and must not tip a
+    # resumed run with one remaining window into spinning up the actor pool
+    n_sched = sum(1 for _, _, w in schedule if w not in done)
 
     # standing apply exchange (stages/actor_apply.py): created once per run,
     # reused across every window; the salted two-stage fold keeps the classic
@@ -508,14 +520,7 @@ def run_ingest(
 
     _ctx = DataContext.get_current()
     _prev_errored = _ctx.max_errored_blocks
-    # fixed-width window schedule, precomputed so depth-D lookahead can
-    # address windows beyond the next one
-    schedule: list[tuple[int, int, str]] = []
-    s_ = start
-    while s_ < hi:
-        e_ = min(s_ + cfg.window_us, hi)
-        schedule.append((s_, e_, window_id_for(s_, e_)))
-        s_ = e_
+
     def _commit(wid, s, e, stats, w_t0):
         agg = {
             "window_id": wid,
@@ -563,13 +568,25 @@ def run_ingest(
                 return
             except ray.exceptions.RayError:
                 actor_pool.recreate()
-        # pool restarted since submission (buffers died with it): replay the
-        # window synchronously — committed partitions skip via lineage
-        stats = run_window(
-            log_dir, lake_root, wcfg2, s, e,
-            deny_counter=deny_counter, actor_pool=actor_pool,
-        )
-        _commit(wid, s, e, stats, w_t0)
+        # Pool restarted since submission (buffers died with it): EVERY
+        # entry still in flight — this one and all queued behind it — was
+        # submitted to a dead generation.  Replay them ALL here, in
+        # schedule order, before returning control to the main loop:
+        # otherwise the loop would feed window N+k into the fresh pool and
+        # its finish would queue AHEAD of the replayed finish(N) on the new
+        # actors, committing out of order and advancing watermarks past N —
+        # the replay of N would then silently drop its events as
+        # below-watermark.  Committed partitions skip via lineage.
+        stale = [(wid, s, e, wcfg2, w_t0)]
+        while inflight:
+            w2, s2, e2, c2, _f2, _ep2, t2 = inflight.popleft()
+            stale.append((w2, s2, e2, c2, t2))
+        for w2, s2, e2, c2, t2 in stale:
+            stats = run_window(
+                log_dir, lake_root, c2, s2, e2,
+                deny_counter=deny_counter, actor_pool=actor_pool,
+            )
+            _commit(w2, s2, e2, stats, t2)
 
     try:
         for idx, (start, end, wid) in enumerate(schedule):
@@ -638,10 +655,13 @@ def run_ingest(
                 )
                 _commit(wid, start, end, stats, w_t0)
                 continue
+            # non-pipelined path: either no actor pool (pre_ds, if any, is a
+            # materialized stateless half) or no lookahead (nothing prefed) —
+            # run_window feeds + finishes with its own bounded retries
             stats = run_window(
                 log_dir, lake_root, wcfg, start, end,
                 pre_ds=pre_ds, deny_counter=deny_counter,
-                actor_pool=actor_pool, prefed_epoch=prefed_epoch,
+                actor_pool=actor_pool,
             )
             _commit(wid, start, end, stats, w_t0)
         while inflight:

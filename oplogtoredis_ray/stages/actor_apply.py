@@ -39,6 +39,13 @@ Correctness under failure is inherited, not re-invented:
   driver recreates the pool and replays the window — committed partitions
   skip via lineage, the rest re-apply idempotently (same guarantee as a
   killed groupby run, restart_test.go:50-64 semantics).
+- A NON-FATAL fold error (application exception in `finish_window`) POISONS
+  the actor: every later queued finish raises before touching a manifest.
+  Without this, the pipelined driver — which submits finish(N+1) before
+  finish(N) collects — would let a SURVIVING actor commit window N+1 and
+  advance watermarks past the failed window N; the replay of N would then
+  see all its events below the watermark and silently drop them.  Poisoning
+  turns that silent loss into the ordinary recreate-and-replay path.
 - A stale manifest cache (competing consumer advanced the partition) is
   caught by the guarded monotonic `commit_manifest` — the losing fold's
   state file becomes GC garbage and the cache entry is invalidated.
@@ -95,6 +102,9 @@ class _ApplyActor:
         self.buffers: dict[str, list[pa.Table]] = {}
         self.manifests: dict[int, Manifest] = {}
         self._lock = threading.Lock()
+        # set to the failing window id by a finish that raised; all later
+        # finishes fail-closed before any commit (see module docstring)
+        self._poisoned: str | None = None
 
     def ping(self) -> int:
         return self.idx
@@ -112,6 +122,24 @@ class _ApplyActor:
             self.buffers.pop(window_id, None)
 
     def finish_window(self, window_id: str) -> pd.DataFrame:
+        """Fold + commit this actor's share of a window.  Fail-closed: a
+        finish that raises (transient I/O, fold bug — anything non-fatal to
+        the process) poisons the actor so the finishes already queued behind
+        it raise BEFORE committing; the driver's normal RayError handling
+        then recreates the pool and replays from the failed window in order."""
+        if self._poisoned is not None:
+            raise RuntimeError(
+                f"apply actor {self.idx} poisoned by failed finish of "
+                f"window {self._poisoned}; refusing {window_id} before any "
+                "commit — recreate the pool and replay"
+            )
+        try:
+            return self._finish_window(window_id)
+        except Exception:
+            self._poisoned = window_id
+            raise
+
+    def _finish_window(self, window_id: str) -> pd.DataFrame:
         with self._lock:
             tabs = self.buffers.pop(window_id, [])
         if not tabs:
@@ -162,6 +190,8 @@ class _ApplyActor:
             ):
                 to_compact.append(pid)
             rows.append(stats)
+            if self.cfg.test_fail_finish_flag is not None:
+                self._maybe_inject_finish_fault(window_id)
         if to_compact:
             # background compaction: runs in the "compact" concurrency
             # group, CONCURRENT with the next windows' folds — the inline
@@ -172,6 +202,21 @@ class _ApplyActor:
             for pid in to_compact:
                 me.compact_partition.remote(pid)
         return pd.concat(rows, ignore_index=True)
+
+    def _maybe_inject_finish_fault(self, window_id: str) -> None:
+        """Fault-injection hook (tests only): consume the one-shot flag file
+        and raise an application error MID-finish — after at least one
+        partition has committed — on exactly one actor.  File-based so the
+        fault does not re-arm when the driver recreates the pool (same cfg)
+        and replays; os.remove is the atomic consume, so concurrent actors
+        race for at most one injection."""
+        import os
+
+        try:
+            os.remove(self.cfg.test_fail_finish_flag)
+        except OSError:
+            return
+        raise RuntimeError(f"injected finish fault in window {window_id}")
 
     @ray.method(concurrency_group="compact")
     def compact_partition(self, pid: int) -> bool:

@@ -116,8 +116,23 @@ def apply_partition_window(
     payload_cols = tuple(cfg.payload_cols)
     pid = int(group["partition_id"][0].as_py())
     if window_id in manifest.lineage:
+        # recover the committed attempt's op counts when this window is the
+        # partition's LAST committed one (the replay-after-pool-failure
+        # case: the first attempt's stats frame was lost with the pool, so
+        # without this the window's _windows.json/IngestResult entry would
+        # undercount applied operations; older-than-last skips — HA double
+        # runs — keep zeros, their window entry was committed by the winner)
+        recovered = {}
+        m = manifest.metrics
+        if m.get("last_window") == window_id:
+            recovered = {
+                k: int(m.get(k, 0))
+                for k in ("upserts", "deletes", "patches", "patch_misses")
+            }
         return (
-            _stats_row(pid, window_id, events_in=len(group), skipped=True),
+            _stats_row(
+                pid, window_id, events_in=len(group), skipped=True, **recovered
+            ),
             manifest,
         )
 

@@ -167,6 +167,78 @@ class TestActorApply:
                 if w in lin
             ]
 
+    def test_finish_fault_poisons_actor_no_silent_loss(
+        self, log_dir, log_df, tmp_lake, tmp_path
+    ):
+        """An APPLICATION error mid-finish (actor survives, unlike
+        ray.kill) must poison the actor so its already-queued finish for
+        the NEXT window raises before committing.  Without the poison, the
+        pipelined driver — which submits finish(N+1) while finish(N) folds
+        — would let the surviving actor advance watermarks past the failed
+        window N; the replay of N would then drop all its events as
+        below-watermark: permanent silent loss.  The flag file is consumed
+        exactly once (it does not re-arm across the pool recreate)."""
+        flag = tmp_path / "fail_finish.flag"
+        flag.write_text("")
+        cfg = _cfg(
+            log_dir, 4, state_mode="delta", compact_threshold=2,
+            window_lookahead=True, lookahead_depth=2,
+            test_fail_finish_flag=str(flag),
+        )
+        res = run_ingest(log_dir, tmp_lake, cfg)
+        assert not flag.exists()  # the fault actually fired
+        assert res.windows_run == 4
+        # every event of every window is in the lake — nothing was dropped
+        # below a prematurely-advanced watermark
+        _assert_matches_oracle(tmp_lake, log_df)
+        # all four windows are committed in lineage order on every partition
+        from oplogtoredis_ray.state.manifest import read_completed_windows
+
+        wids = [w["window_id"] for w in read_completed_windows(tmp_lake)]
+        assert len(wids) == 4
+        for m in read_all_manifests(tmp_lake):
+            assert list(m.lineage) == [w for w in wids if w in m.lineage]
+
+    def test_poisoned_actor_refuses_next_finish(self, log_dir, tmp_lake):
+        """Unit-level pin of the poison semantics: after a finish raises,
+        the next finish on the same actor raises BEFORE committing."""
+        import ray
+
+        from oplogtoredis_ray.pipelines.ingest import build_window_dataset
+        from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
+        from oplogtoredis_ray.state.lake_config import write_or_check_lake_config
+        from oplogtoredis_ray.state.manifest import read_all_manifests as _ram
+
+        import os
+        flag = os.path.join(tmp_lake + "-flags", "once")
+        os.makedirs(os.path.dirname(flag), exist_ok=True)
+        open(flag, "w").close()
+        cfg = _cfg(log_dir, 2, test_fail_finish_flag=flag)
+        write_or_check_lake_config(tmp_lake, cfg)
+        lo, hi = log_ts_bounds(log_dir)
+        mid = lo - 1 + cfg.window_us
+        pool = ActorApplyPool(tmp_lake, cfg, num_actors=1)
+        try:
+            w1, w2 = window_id_for(lo - 1, mid), window_id_for(mid, hi)
+            pool.feed_dataset(
+                build_window_dataset(log_dir, tmp_lake, cfg, lo - 1, mid), w1
+            )
+            pool.feed_dataset(
+                build_window_dataset(log_dir, tmp_lake, cfg, mid, hi), w2
+            )
+            f1 = pool.submit_finish(w1)
+            f2 = pool.submit_finish(w2)  # queued behind the failing finish
+            with pytest.raises(ray.exceptions.RayTaskError, match="injected"):
+                ray.get(f1)
+            with pytest.raises(ray.exceptions.RayTaskError, match="poisoned"):
+                ray.get(f2)
+            # window 2 must NOT have committed anywhere: no partition's
+            # lineage may contain w2 without w1 (i.e. no watermark ran ahead)
+            for m in _ram(tmp_lake):
+                assert w2 not in m.lineage
+        finally:
+            pool.shutdown()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAsyncCompaction:

@@ -217,19 +217,48 @@ def q_partition_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+_KEY_GOLD = np.uint64(0x9E3779B97F4A7C15)
+NUM_KEY_BUCKETS = 64
+
+
+def _add_key_bucket(col: str, num: int = NUM_KEY_BUCKETS):
+    """Append a deterministic coarse exchange bucket derived from an int64
+    key column (golden-ratio mix so the bucket draws on all bits).  The
+    scale-safe shape for keyed window work: groupby(bucket) dispatches
+    ~`num` tasks regardless of key cardinality, and the per-key semantics
+    are recreated INSIDE the task by a vectorized sort + segment pass —
+    grouping directly on the key makes Ray dispatch one UDF per (corpus-
+    sized) group, the repo's measured 60 s/190k-groups anti-pattern."""
+
+    def add(t: pa.Table) -> pa.Table:
+        k = t[col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        with np.errstate(over="ignore"):
+            mixed = k.view(np.uint64) * _KEY_GOLD
+        return t.append_column(
+            "bucket", pa.array((mixed % np.uint64(num)).astype(np.int64))
+        )
+
+    return add
+
+
 def q_dedup_exact(sf_dir: str):
     """K3: exact dedup — first event per (user_id, event_type) in
-    (ts, event_id) order."""
+    (ts, event_id) order.  Coarse-bucket exchange + vectorized in-task
+    drop_duplicates (64 task dispatches, not one per key)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
 
-    def first_of(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        ).drop_duplicates(["user_id", "event_type"], keep="first")
         return g.rename(columns={"ts": "first_ts", "event_id": "first_event_id"})[
             ["user_id", "event_type", "first_ts", "first_event_id"]
         ]
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        first_of, batch_format="pandas"
+    return (
+        ds.map_batches(_add_key_bucket("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_per_key, batch_format="pandas")
     )
 
 
@@ -265,15 +294,28 @@ def q_resume_point(sf_dir: str):
 
 def q_ordered_rank(sf_dir: str):
     """Explicit per-partition ordering: rank within user_id by (ts, event_id)
-    — the order the reference assumes from $natural and we must create."""
+    — the order the reference assumes from $natural and we must create.
+    Coarse-bucket exchange; ranks recreated in-task with one sort + a
+    segment-boundary subtraction (no per-key dispatch)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["event_id", "rank"]]
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "rank": idx - seg_start + 1}
+        )
 
-    return ds.groupby("user_id").map_groups(rank, batch_format="pandas")
+    return (
+        ds.map_batches(_add_key_bucket("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
 
 
 def q_cdc_last_state(sf_dir: str):
@@ -524,10 +566,13 @@ def q_knn_brute(sf_dir: str):
 
     from oplogtoredis_ray.pipelines.similarity import knn_brute
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    # query-vector extraction with the predicate pushed INTO the read:
+    # only matching row groups/rows reach the driver, never the full table
+    qtbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 4)],
     )
-    qtbl = tbl.filter(pc.less(tbl["vec_id"], 4))
     queries = {
         int(i): np.array(v, dtype=np.float64)
         for i, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist())
@@ -538,24 +583,28 @@ def q_knn_brute(sf_dir: str):
 
 def q_neardup_embeddings(sf_dir: str):
     """Embedding near-dup pairs (cosine ≥ τ) on a filtered subset via a
-    broadcast side matrix."""
-    import pyarrow.parquet as pq
+    broadcast side matrix.  The side matrix is built by streaming ONLY the
+    already-filtered rows to the driver through the distributed scan — the
+    modulo predicate can't prune parquet row groups, so the filter runs in
+    the read tasks, never as a driver-side full-table materialization.
+    (The broadcast side is O(corpus/4) by design; the documented scale path
+    for corpus-sized inputs is `neardup_lsh`.)"""
     import ray
 
     from oplogtoredis_ray.pipelines.similarity import PairsAboveThreshold
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    def quarter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 4 - 1), 0))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        quarter, batch_format="pyarrow"
     )
-    sub = tbl.filter(pc.equal(pc.bit_wise_and(tbl["vec_id"], 4 - 1), 0))
-    ids = sub["vec_id"].to_numpy(zero_copy_only=False)
-    M = np.array(sub["embedding"].to_pylist(), dtype=np.float64)
+    side = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ids = side["vec_id"].to_numpy(zero_copy_only=False)
+    M = np.array(side["embedding"].to_pylist(), dtype=np.float64)
     ref = ray.put((ids, M))
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["vec_id"], 4 - 1), 0)),
-        batch_format="pyarrow",
-    )
     return ds.map_batches(
         PairsAboveThreshold,
         batch_format="pyarrow",
@@ -573,10 +622,11 @@ def q_ivf_topk(sf_dir: str):
 
     from oplogtoredis_ray.pipelines.similarity import ivf_topk
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    qtbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 4)],
     )
-    qtbl = tbl.filter(pc.less(tbl["vec_id"], 4))
     queries = {
         int(i): np.array(v, dtype=np.float64)
         for i, v in zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist())
@@ -822,58 +872,95 @@ def q_change_records(sf_dir: str):
 
 def q_sessionize(sf_dir: str):
     """Session windows (streaming-shaped): per-user sessions split at >30 min
-    gaps — groupby(key).map_groups over the ts-sorted group (Ray Data has no
-    event-time windows; this is the documented composition)."""
+    gaps — coarse-bucket exchange + in-task vectorized boundary detection
+    (Ray Data has no event-time windows; this is the documented, scale-safe
+    composition)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
     GAP_US = 30 * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one sort for the whole bucket; session boundaries found with a
+        # single vectorized pass over user-change OR gap-exceeded marks,
+        # then ONE pandas (C-level) groupby over global session ids —
+        # per-key Ray dispatch is gone, in-task work is key-cardinality-free
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = g["ts"].astype("int64").to_numpy()
-        new = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new[1:] = np.diff(ts) > GAP_US
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > GAP_US)
         sid = np.cumsum(new)
-        g = g.assign(session=sid)
-        out = g.groupby("session", as_index=False).agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "count"),
-            value_cents=("value", lambda v: np.floor(v * 100).astype("int64").sum()),
+        cents = np.floor(g["value"].to_numpy() * 100).astype("int64")
+        out = (
+            pd.DataFrame(
+                {
+                    "session": sid,
+                    "user_id": uid,
+                    "ts": g["ts"].to_numpy(),
+                    "cents": cents,
+                }
+            )
+            .groupby("session", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "count"),
+                value_cents=("cents", "sum"),
+            )
         )
-        out["user_id"] = g["user_id"].iloc[0]
         out["n_events"] = out["n_events"].astype("int64")
         out["value_cents"] = out["value_cents"].astype("int64")
-        return out[["user_id", "session_start", "session_end", "n_events", "value_cents"]]
+        return out[
+            ["user_id", "session_start", "session_end", "n_events", "value_cents"]
+        ]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(_add_key_bucket("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )
 
 
 def q_asof_view_click(sf_dir: str):
     """As-of join: for each click, the latest view of the same user at or
-    before it — per-key ``pd.merge_asof`` inside map_groups (the documented
-    bucketed as-of pattern)."""
+    before it.  Coarse-bucket exchange; inside the task ONE
+    ``pd.merge_asof(..., by="user_id")`` handles every key in the bucket —
+    the segment-boundary-vectorized as-of (no per-key dispatch)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof requires the on-key globally sorted; the stable
+        # (ts, event_id) sort also fixes tie order among equal-ts views
+        # (backward asof takes the LAST right row ≤ ts within the by-group)
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         clicks = g[g["event_type"] == "click"][["event_id", "ts", "user_id"]]
-        views = g[g["event_type"] == "view"][["event_id", "ts"]].rename(
+        views = g[g["event_type"] == "view"][["event_id", "ts", "user_id"]].rename(
             columns={"event_id": "view_event_id", "ts": "view_ts"}
         )
-        if clicks.empty:
+        if clicks.empty or views.empty:
             return pd.DataFrame(
                 columns=["event_id", "user_id", "ts", "view_event_id", "view_ts"]
             )
         merged = pd.merge_asof(
-            clicks, views, left_on="ts", right_on="view_ts", direction="backward"
+            clicks,
+            views,
+            left_on="ts",
+            right_on="view_ts",
+            by="user_id",
+            direction="backward",
         )
         merged = merged.dropna(subset=["view_event_id"])
         merged["view_event_id"] = merged["view_event_id"].astype("int64")
         return merged[["event_id", "user_id", "ts", "view_event_id", "view_ts"]]
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return (
+        ds.map_batches(_add_key_bucket("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
 
 
 def q_customer_region(sf_dir: str):
@@ -1016,25 +1103,17 @@ def q_distinct_event_types(sf_dir: str):
 def q_hash_sample(sf_dir: str):
     """Deterministic ~5% sample: hash-bucket membership instead of RNG so
     the sample is reproducible across engines, runs and cluster sizes (the
-    production-correct way to sample for eval sets)."""
-    import hashlib
-
+    production-correct way to sample for eval sets).  The gate hash is a
+    64-bit golden-ratio multiply (mod 2^64) with the top bits selecting the
+    percentile — fully vectorized in numpy AND expressible in plain SQL via
+    HUGEINT modular arithmetic (no per-row hashlib, no SQL UDF)."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def sample(t: pa.Table) -> pa.Table:
-        ids = t["event_id"].to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.sha256(str(int(i)).encode()).digest()[:4], "big"
-                )
-                % 100
-                < 5
-                for i in ids
-            ),
-            dtype=bool,
-            count=len(ids),
-        )
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        with np.errstate(over="ignore"):
+            h = ids.view(np.uint64) * _KEY_GOLD
+        keep = (h >> np.uint64(33)) % np.uint64(100) < np.uint64(5)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(sample, batch_format="pyarrow")
@@ -1042,16 +1121,38 @@ def q_hash_sample(sf_dir: str):
 
 def q_running_total(sf_dir: str):
     """Ordered window aggregate: per-user running total of integer cents in
-    (ts, event_id) order — groupby.map_groups over the sorted group."""
+    (ts, event_id) order — coarse-bucket exchange + in-task segmented
+    cumsum (Ray Data has no window functions; this is the scale-safe
+    composition)."""
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def running_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented cumsum: one global cumsum, then subtract each user
+        # segment's starting offset — sign-safe (no maximum.accumulate on
+        # the sums themselves), one sort per bucket, zero per-key dispatch
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
         cents = np.floor(g["value"].to_numpy() * 100).astype("int64")
-        g = g.assign(running_cents=np.cumsum(cents))
-        return g[["event_id", "user_id", "running_cents"]]
+        cs = np.cumsum(cents)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        prior = cs[starts] - cents[starts]  # cumsum just before each segment
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "running_cents": cs - prior[seg_id],
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return (
+        ds.map_batches(_add_key_bucket("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running_bucket, batch_format="pandas")
+    )
 
 
 def q_anti_join_users(sf_dir: str):
@@ -1482,8 +1583,13 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT DISTINCT event_type FROM events
         """,
         "hash_sample": """
+            -- same 64-bit golden-ratio gate as the engine, replayed with
+            -- HUGEINT modular arithmetic: (id * K mod 2^64) >> 33, % 100
             SELECT event_id, user_id, value FROM events
-            WHERE ('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 8))::UINTEGER % 100 < 5
+            WHERE CAST(
+                ((CAST(event_id AS HUGEINT) * 11400714819323198485)
+                  % 18446744073709551616) // 8589934592 % 100
+              AS BIGINT) < 5
         """,
         "running_total": """
             SELECT event_id, user_id,

@@ -127,6 +127,7 @@ def ensure_oracle_intermediates(sf_dir: str) -> None:
     q_ivf_topk(sf_dir)
     q_neardup_lsh(sf_dir).materialize()
     q_curate_corpus(sf_dir).materialize()
+    q_media_features(sf_dir).materialize()
 
 
 # --- query implementations ---------------------------------------------------
@@ -1199,6 +1200,82 @@ def q_cdc_apply(sf_dir: str):
 
 # --- registry ----------------------------------------------------------------
 
+MEDIA_N = 240  # deterministic synthetic media corpus size (seeded)
+MEDIA_FEATURE_DIM = 16
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal feature pipeline under the oracle gate: deterministic
+    decodable media table (PPM/BMP/WAV, stages/multimodal.py) → actor-pool
+    `MediaFeatureStage` → flattened per-chunk integer sums/counts.  The
+    decode itself is exported as (media_id, chunk_idx, value) parquet via
+    `MediaDecodeExplode` so the oracle SQL recomputes payload_bytes + the
+    pooled chunks from the same decode (the sketch-export pattern; decode
+    correctness is pinned separately by the codec round-trip pytests).
+    Integer sums instead of float means keep the comparison exact across
+    engines.  ≙ reference acceptance harness style
+    (/root/reference/integration-tests/acceptance/harness_test.go:32-147)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from oplogtoredis_ray.stages.multimodal import (
+        MediaDecodeExplode,
+        MediaFeatureStage,
+        synthesize_decodable_media_table,
+    )
+
+    od = _oracle_dir(sf_dir)
+    os.makedirs(od, exist_ok=True)
+    media_path = os.path.join(od, "media.parquet")
+    if not os.path.exists(media_path):
+        pq.write_table(
+            synthesize_decodable_media_table(MEDIA_N, seed=7), media_path
+        )
+    decoded_dir = os.path.join(od, "media_decoded")
+    if os.path.isdir(decoded_dir):
+        shutil.rmtree(decoded_dir)
+    os.makedirs(decoded_dir, exist_ok=True)
+    rd.read_parquet(media_path).map_batches(
+        MediaDecodeExplode,
+        fn_constructor_kwargs={"feature_dim": MEDIA_FEATURE_DIM},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    ).write_parquet(decoded_dir)
+
+    feats = rd.read_parquet(media_path).map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={"feature_dim": MEDIA_FEATURE_DIM},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        n = len(t)
+        dim = MEDIA_FEATURE_DIM
+        idx = np.repeat(np.arange(n, dtype=np.int64), dim)
+        take = pa.array(idx, type=pa.int64())
+        return pa.table(
+            {
+                "media_id": pc.take(t["media_id"], take),
+                "kind": pc.take(t["kind"], take),
+                "payload_bytes": pc.take(t["payload_bytes"], take),
+                "chunk_idx": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int64), n), type=pa.int64()
+                ),
+                "chunk_sum": t["chunk_sums"].combine_chunks().flatten(),
+                "chunk_n": pc.cast(
+                    t["chunk_lens"].combine_chunks().flatten(), pa.int64()
+                ),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
 QUERIES = {
     "window_read": q_window_read,
     "envelope_project": q_envelope_project,
@@ -1237,6 +1314,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "running_total": q_running_total,
     "anti_join_users": q_anti_join_users,
+    "media_features": q_media_features,
 }
 
 
@@ -1634,6 +1712,15 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM walk GROUP BY id
         """,
         "curate_corpus": _curate_sql(od),
+        "media_features": f"""
+            -- replay the pooled media features from the exported decode:
+            -- integer chunk sums/counts, exact across engines
+            SELECT media_id, kind, payload_bytes, chunk_idx,
+                   CAST(SUM(value) AS BIGINT) AS chunk_sum,
+                   CAST(COUNT(*) AS BIGINT) AS chunk_n
+            FROM read_parquet('{od}/media_decoded/*.parquet')
+            GROUP BY 1, 2, 3, 4
+        """,
         "simhash_pairs": f"""
             WITH s AS (SELECT doc_id, simhash, bucket
                        FROM read_parquet('{od}/simhash_sigs/*.parquet'))

@@ -134,6 +134,12 @@ class MediaFeatureStage:
         payloads = batch["payload"].to_pylist()
         mimes = batch["mime"].to_pylist()
         feats = np.empty((len(payloads), self.feature_dim), dtype=np.float32)
+        # exact integer view of the pooled chunks (sum + count instead of a
+        # float mean): decoders emit integer samples (uint8 pixels / int16
+        # PCM), so these are lossless and SQL-replayable — the oracle gate
+        # for this stage compares them instead of float32 roundings
+        sums = np.zeros((len(payloads), self.feature_dim), dtype=np.int64)
+        lens = np.zeros((len(payloads), self.feature_dim), dtype=np.int32)
         sizes = np.empty(len(payloads), dtype=np.int64)
         for i, (p, m) in enumerate(zip(payloads, mimes)):
             raw = self.decoder(p, m)
@@ -141,6 +147,11 @@ class MediaFeatureStage:
             flat = np.asarray(raw, dtype=np.float32).ravel()
             chunks = np.array_split(flat, self.feature_dim)
             feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+            ichunks = np.array_split(
+                np.asarray(raw).ravel().astype(np.int64), self.feature_dim
+            )
+            sums[i] = [int(c.sum()) for c in ichunks]
+            lens[i] = [len(c) for c in ichunks]
             sizes[i] = len(p)
         return pa.table(
             {
@@ -150,6 +161,64 @@ class MediaFeatureStage:
                 "feature": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.ravel(), type=pa.float32()), self.feature_dim
                 ),
+                "chunk_sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), type=pa.int64()), self.feature_dim
+                ),
+                "chunk_lens": pa.FixedSizeListArray.from_arrays(
+                    pa.array(lens.ravel(), type=pa.int32()), self.feature_dim
+                ),
+            }
+        )
+
+
+class MediaDecodeExplode:
+    """Actor-pool stage: explode each payload's decode into
+    ``(media_id, kind, payload_bytes, chunk_idx, value)`` rows — the same
+    decoder + ``np.array_split`` chunking as `MediaFeatureStage`, flattened
+    so a SQL engine can replay the pooled features (``SUM(value)`` /
+    ``COUNT(*)`` per chunk) over the exported decode.  This is the oracle
+    export for the multimodal feature pipeline, mirroring the
+    minhash-signature-export pattern."""
+
+    def __init__(
+        self,
+        decoder: Callable[[bytes, str], np.ndarray] | None = None,
+        feature_dim: int = 16,
+    ):
+        if decoder is None:
+            from oplogtoredis_ray.functions.codecs import default_decoder
+
+            decoder = default_decoder
+        self.decoder = decoder
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        out_id, out_kind, out_bytes, out_chunk, out_val = [], [], [], [], []
+        for mid, kind, p, m in zip(ids, kinds, payloads, mimes):
+            flat = np.asarray(self.decoder(p, m)).ravel().astype(np.int64)
+            chunks = np.array_split(flat, self.feature_dim)
+            chunk_idx = np.repeat(
+                np.arange(self.feature_dim, dtype=np.int64),
+                [len(c) for c in chunks],
+            )
+            n = len(flat)
+            out_id.append(np.full(n, int(mid), dtype=np.int64))
+            out_kind.extend([kind] * n)
+            out_bytes.append(np.full(n, len(p), dtype=np.int64))
+            out_chunk.append(chunk_idx)
+            out_val.append(flat)
+        cat = lambda parts: np.concatenate(parts) if parts else np.array([], dtype=np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "media_id": pa.array(cat(out_id), type=pa.int64()),
+                "kind": pa.array(out_kind, type=pa.string()),
+                "payload_bytes": pa.array(cat(out_bytes), type=pa.int64()),
+                "chunk_idx": pa.array(cat(out_chunk), type=pa.int64()),
+                "value": pa.array(cat(out_val), type=pa.int64()),
             }
         )
 

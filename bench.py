@@ -203,10 +203,11 @@ def _run_bench() -> None:
 
 
 def _windowed_delta_run(
-    sf_dir: str, n_events: int, reps: int = 1, n_windows: int = 8
+    sf_dir: str, n_events: int, reps: int = 1, n_windows: int = 8,
+    compact_threshold: int = 12,
 ) -> dict:
     """First-class sustained-ingest metric: ``n_windows`` resumable windows
-    in the delta layout (compaction at compact_threshold=4) with a
+    in the delta layout (compaction at the chain-length cap) with a
     CONCURRENT garbage collector, reporting throughput and write
     amplification (bytes written to the lake / bytes of the final live
     state)."""
@@ -225,23 +226,18 @@ def _windowed_delta_run(
     P = 128 if n_events >= 10_000_000 else 64
     dcfg = PipelineConfig(
         num_partitions=P,
-        # blocks sized to ONE WINDOW's data share, not the whole log:
-        # data-driven and cluster-size-independent, but right-sized so
-        # per-window piece count doesn't dwarf the window
-        read_blocks=max(P // 4, 16),
         window_us=(hi - lo) // n_windows + 1,
         state_mode="delta",
-        compact_threshold=4,
+        compact_threshold=compact_threshold,
         # apply_mode="auto": the standing apply-actor exchange when ≥ 3
-        # windows will execute (persistent per-partition-group actors, warm manifests,
-        # no per-window sort shuffle, pipelined finishes), the spillable
-        # groupby shuffle below that.  Deep lookahead streams up to
-        # `lookahead_depth` windows' read+parse into the exchange
-        # concurrently.  Measured on the 8-window sf0.1 run: 20.1 s → ~16 s
-        # at 32 cpus and 52.1 s → ~34 s at 8 cpus vs the round-2 groupby
-        # mode.
+        # windows will execute.  Round-4: the exchange feeds GROUPS of
+        # consecutive windows through ONE streaming executor (auto width
+        # from the memory-budget rule, read blocks sized per group inside
+        # run_ingest) — the round-3 depth-D per-window executors contended
+        # on the driver (measured 2.3× slower than one wide executor at 32
+        # cpus).  Measured on the 8-window sf0.1 run at quiet load:
+        # 18.6 s (r3) → ~13 s (r4) at 32 cpus; 28.9 s → ~18.5-22 s at 8.
         window_lookahead=True,
-        lookahead_depth=min(n_windows, 6),
     )
     best = None
     for _ in range(reps):

@@ -90,7 +90,20 @@ class PipelineConfig:
     # deltas — kills the per-window write amplification of frequent small
     # windows (the lakehouse tradeoff).
     state_mode: str = "rewrite"
-    compact_threshold: int = 4
+    # chain-LENGTH cap: compact whenever a partition's chain exceeds this
+    # many files — bounds merge-on-read cost.  Write volume is governed by
+    # compact_rows_factor below; this cap only protects read latency.
+    compact_threshold: int = 12
+    # size-tiered compaction trigger (standing-actor path): compact when
+    # pending delta rows ≥ factor × base rows.  Right for APPEND-mostly
+    # data (base grows with the log; amortized write-amp ≈ 1+(factor+1)/
+    # factor).  Default OFF (inf): this engine's transcript CDC mix is
+    # UPDATE-heavy — the folded base converges to a near-constant size ≈
+    # 1-2 windows of deltas, so a size trigger fires every couple of
+    # windows and was MEASURED worse than the plain length cap (wamp 3.4
+    # vs 2.5 on the 16-window sf0.1 run).  See BASELINE.md round-4 for the
+    # sweep and the floor analysis.
+    compact_rows_factor: float = float("inf")
     # distributed salted fold: pre-fold (partition, ts-salt) sub-groups in a
     # first exchange, then apply the (much smaller) pseudo-events per
     # partition — for hot partitions too big for one task/node.  The in-task
@@ -164,6 +177,24 @@ class PipelineConfig:
     apply_mode: str = "auto"
     # standing-exchange width; None → min(num_partitions, cluster CPUs)
     apply_actors: int | None = None
+    # actor-mode execution-wave width (windows per feed group): ONE
+    # streaming executor reads+parses a group of consecutive windows and
+    # the feed wave splits by (window, actor) — commit/replay granularity
+    # stays one window.  "auto" sizes the group from the cluster memory
+    # budget (below); an int pins it; 1 reproduces per-window feeding.
+    # Rationale: N concurrent per-window executors contend on the driver
+    # (measured 2.3× slower than one wide executor at 32 cpus), and group
+    # width is the memory-budget knob a real cluster turns — a 4× cluster
+    # runs 4×-wider execution waves over the same window schedule.
+    feed_group_windows: int | str = "auto"
+    # memory model for the auto group width: clusters provision memory
+    # proportionally to cores (this sandbox: 32 cpus / 128 GiB = 4 GiB/cpu);
+    # budget = num_cpus × mem_per_cpu × apply_heap_fraction, and at most
+    # TWO groups are in actor heap at once (one folding, one feeding), so
+    # auto G = budget / (2 × window_heap_bytes), window_heap_bytes being the
+    # footer-stats uncompressed window share × a 2× gather/buffer factor
+    mem_per_cpu_bytes: int = 4 << 30
+    apply_heap_fraction: float = 0.25
     # CPU reservation per apply actor: 0 lets feed and fold phases alternate
     # on the same cores (they are phase-disjoint within a window); reserve a
     # fraction (e.g. 0.5) when co-tenant pipelines need guaranteed headroom

@@ -165,12 +165,17 @@ def build_window_dataset(
     start_us: int,
     end_us: int,
     deny_counter=None,
+    read_blocks: int | None = None,
+    route_actors: int | None = None,
 ):
     """The stateless half of a window: read → parse (→ salt tag).  Depends
     on NO lake state (dedup/fold happen in the apply phase), so it can be
     built — and even materialized — ahead of the preceding window's apply
-    (window lookahead)."""
-    blocks = cfg.read_blocks
+    (window lookahead).  ``read_blocks`` overrides cfg for multi-window
+    GROUP datasets (blocks scale with the group span); ``route_actors``
+    makes the parse stage presort blocks by owning apply actor so feed
+    tasks ship zero-copy slices."""
+    blocks = read_blocks if read_blocks is not None else cfg.read_blocks
     if blocks is None:
         import ray
 
@@ -190,7 +195,8 @@ def build_window_dataset(
     if cfg.parse_concurrency is not None:
         parse_kwargs["concurrency"] = cfg.parse_concurrency
     ds = ds.map_batches(
-        ParseStage(cfg, deadletter, emit_changed_fields=False, deny_counter=deny_counter),
+        ParseStage(cfg, deadletter, emit_changed_fields=False,
+                   deny_counter=deny_counter, route_actors=route_actors),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         **_retry_args(cfg),
@@ -436,19 +442,6 @@ def run_ingest(
         schedule.append((s_, e_, window_id_for(s_, e_)))
         s_ = e_
 
-    # window lookahead: one-deep prefetch of the next window's stateless
-    # half, overlapping its read+parse with the current window's apply.
-    # Apply order — and therefore exactly-once — is untouched.
-    prefetch_pool = None
-    # window_id -> Future[(Dataset, prefed_epoch|None)]
-    pending: dict[str, object] = {}
-    depth = max(int(cfg.lookahead_depth), 1)
-    if cfg.window_lookahead:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _stabilize_lazy_imports()
-        prefetch_pool = ThreadPoolExecutor(max_workers=depth)
-
     # count the windows this run will actually EXECUTE (for apply_mode=
     # "auto"): already-committed windows skip in O(1) and must not tip a
     # resumed run with one remaining window into spinning up the actor pool
@@ -464,10 +457,58 @@ def run_ingest(
     mode = cfg.apply_mode
     if mode == "auto":
         mode = "actors" if n_sched >= 3 else "groupby"
+    group_width = 1
     if mode == "actors" and cfg.distributed_salt_buckets <= 1:
         from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
 
         actor_pool = ActorApplyPool(lake_root, cfg, cfg.apply_actors)
+        # execution-wave width (windows per feed group).  "auto" = the
+        # memory-budget rule from config.py: a 4×-bigger cluster runs
+        # 4×-wider waves over the SAME window schedule — throughput scales
+        # with the cluster while commit/replay granularity stays one window
+        gw = cfg.feed_group_windows
+        if not cfg.window_lookahead:
+            # lookahead off = the strictly-sequential contract: denylist
+            # mutations and on_window hooks take effect at the very next
+            # window, so no grouping and no feed/fold overlap
+            gw = 1
+        if gw == "auto":
+            import ray
+
+            from oplogtoredis_ray.sources.event_log import log_heap_stats
+
+            _, ubytes = log_heap_stats(log_dir)
+            span = max(hi - lo, 1)
+            # in-heap window share ≈ footer uncompressed bytes × window
+            # fraction × 2 (feed gather + actor buffer copies)
+            window_heap = max(
+                ubytes * min(cfg.window_us / span, 1.0), 1.0
+            ) * 2.0
+            ncpu = (
+                int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized()
+                else 8
+            )
+            budget = ncpu * cfg.mem_per_cpu_bytes * cfg.apply_heap_fraction
+            # at most two groups resident (one folding, one feeding)
+            group_width = int(max(1, min(budget / (2.0 * window_heap), 16)))
+        else:
+            group_width = max(int(gw), 1)
+
+    # window lookahead (groupby mode only): depth-D prefetch of upcoming
+    # windows' stateless halves, overlapping read+parse with the current
+    # window's apply.  Actor mode replaces this with feed GROUPS — one wide
+    # executor instead of D concurrent ones (the D-executor driver
+    # contention measured 2.3× slower at 32 cpus).
+    prefetch_pool = None
+    # window_id -> Future[materialized Dataset]
+    pending: dict[str, object] = {}
+    depth = max(int(cfg.lookahead_depth), 1)
+    if cfg.window_lookahead and actor_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _stabilize_lazy_imports()
+        prefetch_pool = ThreadPoolExecutor(max_workers=depth)
 
     # per-database denylist-filtered counts (≙ tail.go:109-114): the counter
     # actor is created lazily at the first window whose effective denylist is
@@ -492,25 +533,11 @@ def run_ingest(
         return wcfg
 
     def _prefetch(wcfg, s, e):
-        ds = build_window_dataset(
+        # groupby-mode lookahead: materialize the stateless half so the
+        # window's apply starts from resident blocks
+        return build_window_dataset(
             log_dir, lake_root, wcfg, s, e, deny_counter=deny_counter
-        )
-        if actor_pool is None:
-            return ds.materialize(), None
-        # deep lookahead, actor mode: stream the LAZY dataset straight into
-        # the standing exchange — feed tasks launch as parse emits bundles,
-        # so window latency ≈ parse time and no materialized copy doubles
-        # object-store residency.  Accepts just buffer, keyed by window_id —
-        # apply order is untouched.  A retry after pool restart re-executes
-        # read+parse (bounded, same as a groupby window replay).  Epoch
-        # protocol: capture before, validate after; any pool restart in
-        # between invalidates the feed and run_window re-feeds from ds.
-        epoch = actor_pool.epoch
-        try:
-            actor_pool.feed_dataset(ds, window_id_for(s, e))
-        except Exception:
-            return ds, None
-        return ds, (epoch if actor_pool.epoch == epoch else None)
+        ).materialize()
 
     # the errored-block budget lives in the global DataContext (snapshotted
     # per Dataset at creation); save it ONCE here and restore in the finally
@@ -589,83 +616,138 @@ def run_ingest(
             _commit(w2, s2, e2, stats, t2)
 
     try:
-        for idx, (start, end, wid) in enumerate(schedule):
-            if (
-                max_windows is not None
-                and result.windows_run + len(inflight) >= max_windows
-            ):
-                break
-            if wid in done:
-                result.windows_skipped += 1
-                continue
-            wcfg = _effective_cfg()
-            if prefetch_pool is not None:
-                # top up the lookahead: keep up to `depth` windows' stateless
-                # halves in flight, INCLUDING the current one on the first
-                # iteration — an inline window-0 build would serialize ~one
-                # window of read+parse before any overlap starts (denylist
-                # snapshot taken NOW — documented ≤ depth-window lag on
-                # runtime mutations)
-                for s2, e2, wid2 in schedule[idx:]:
-                    if len(pending) >= depth:
-                        break
-                    if wid2 not in done and wid2 not in pending:
-                        pending[wid2] = prefetch_pool.submit(
-                            _prefetch, wcfg, s2, e2
-                        )
-            pre_ds = None
-            prefed_epoch = None
-            fut = pending.pop(wid, None)
-            if fut is not None:
-                pre_ds, prefed_epoch = fut.result()
-            w_t0 = _time.monotonic()
-            if actor_pool is not None and prefetch_pool is not None:
-                # pipelined path: ensure fed into the live pool generation,
-                # submit finishes, drain lazily in order
-                import ray
+        if actor_pool is not None:
+            # ---- grouped actor path ----
+            # One streaming executor reads+parses a GROUP of up to
+            # `group_width` consecutive not-done windows; the feed wave
+            # splits each block by (window, actor); finishes are submitted
+            # per window in schedule order, so per-partition window order —
+            # and exactly-once — is exactly the per-window protocol.  The
+            # NEXT group's read+parse+feed overlaps the current group's
+            # folds (at most two groups resident in actor heap, the
+            # documented memory bound).  Denylist snapshots refresh at
+            # group boundaries (≤ group_width-window lag on runtime
+            # mutations, same bound as the old depth-D lookahead).
+            import ray
 
-                fed = prefed_epoch == actor_pool.epoch
-                if not fed:
-                    ds = pre_ds if pre_ds is not None else build_window_dataset(
-                        log_dir, lake_root, wcfg, start, end,
-                        deny_counter=deny_counter,
-                    )
-                    try:
-                        actor_pool.feed_dataset(ds, wid)
-                        fed = True
-                    except ray.exceptions.RayError:
-                        fed = False
+            todo = [w for w in schedule if w[2] not in done]
+            result.windows_skipped += len(schedule) - len(todo)
+            if max_windows is not None:
+                todo = todo[: max(max_windows, 0)]
+            if cfg.feed_group_windows == "auto" and len(todo) > 1:
+                # pipeline cap on the memory-budget width: keep ≥ 2 groups
+                # so one group's folds overlap the next group's read+parse
+                # (a single all-window group serializes feed then fold)
+                group_width = max(1, min(group_width, -(-len(todo) // 2)))
+            # maximal consecutive runs (a committed window in between breaks
+            # the run so a group's read span never re-reads done windows)
+            runs: list[list[tuple[int, int, str]]] = []
+            cur: list[tuple[int, int, str]] = []
+            for s_e_w in todo:
+                if cur and cur[-1][1] != s_e_w[0]:
+                    runs.append(cur)
+                    cur = []
+                cur.append(s_e_w)
+            if cur:
+                runs.append(cur)
+            # uniform width-capped groups.  (A ramped [1,2,4,…,1] schedule
+            # that shrinks the pipeline fill/drain walls was measured: ~0 at
+            # 32 cpus and NEGATIVE at 8 cpus — the extra per-group streaming
+            # -executor startups cost more than the overlap they buy.)
+            groups: list[list[tuple[int, int, str]]] = []
+            for run in runs:
+                for i in range(0, len(run), group_width):
+                    groups.append(run[i : i + group_width])
+            ncpu = (
+                int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized()
+                else 8
+            )
+            per_win_blocks = cfg.read_blocks
+            if per_win_blocks is None:
+                per_win_blocks = max(2 * ncpu // max(group_width, 1), 4)
+            for group in groups:
+                wcfg = _effective_cfg()
+                g_t0 = _time.monotonic()
+                ds = build_window_dataset(
+                    log_dir, lake_root, wcfg, group[0][0], group[-1][1],
+                    deny_counter=deny_counter,
+                    # floor at cluster width so small fill/drain groups
+                    # don't starve the read of parallelism
+                    read_blocks=max(per_win_blocks * len(group), ncpu),
+                )
+                try:
+                    actor_pool.feed_group(ds, group)
+                    fed = True
+                except ray.exceptions.RayError:
+                    fed = False
                 if fed:
-                    inflight.append((
-                        wid, start, end, wcfg,
-                        actor_pool.submit_finish(wid), actor_pool.epoch, w_t0,
-                    ))
-                    while len(inflight) > depth:
+                    epoch = actor_pool.epoch
+                    for s, e, wid in group:
+                        inflight.append((
+                            wid, s, e, wcfg,
+                            actor_pool.submit_finish(wid), epoch, g_t0,
+                        ))
+                    # drain everything OLDER than this group before feeding
+                    # the next one — its folds ran while this group fed.
+                    # With lookahead off, drain THIS group too (sequential
+                    # contract: next group's denylist snapshot must see
+                    # this group's on_window mutations)
+                    keep = len(group) if cfg.window_lookahead else 0
+                    while len(inflight) > keep:
                         _drain_one()
                     continue
-                # feed failed — pool is broken: drain whatever is in flight
-                # (each entry replays via the epoch check), recreate, then
-                # replay this window synchronously with run_window's retries
+                # feed failed — pool is broken: drain in-flight finishes
+                # (each replays via the epoch check), recreate, then replay
+                # this group's windows one by one with run_window's retries
                 while inflight:
                     _drain_one()
                 actor_pool.recreate()
+                for s, e, wid in group:
+                    w_t0 = _time.monotonic()
+                    stats = run_window(
+                        log_dir, lake_root, wcfg, s, e,
+                        deny_counter=deny_counter, actor_pool=actor_pool,
+                    )
+                    _commit(wid, s, e, stats, w_t0)
+            while inflight:
+                _drain_one()
+        else:
+            # ---- groupby path (one sort-shuffle per window) ----
+            for idx, (start, end, wid) in enumerate(schedule):
+                if (
+                    max_windows is not None
+                    and result.windows_run >= max_windows
+                ):
+                    break
+                if wid in done:
+                    result.windows_skipped += 1
+                    continue
+                wcfg = _effective_cfg()
+                if prefetch_pool is not None:
+                    # top up the lookahead: keep up to `depth` windows'
+                    # stateless halves in flight, INCLUDING the current one
+                    # on the first iteration — an inline window-0 build
+                    # would serialize ~one window of read+parse before any
+                    # overlap starts (denylist snapshot taken NOW —
+                    # documented ≤ depth-window lag on runtime mutations)
+                    for s2, e2, wid2 in schedule[idx:]:
+                        if len(pending) >= depth:
+                            break
+                        if wid2 not in done and wid2 not in pending:
+                            pending[wid2] = prefetch_pool.submit(
+                                _prefetch, wcfg, s2, e2
+                            )
+                pre_ds = None
+                fut = pending.pop(wid, None)
+                if fut is not None:
+                    pre_ds = fut.result()
+                w_t0 = _time.monotonic()
                 stats = run_window(
                     log_dir, lake_root, wcfg, start, end,
-                    deny_counter=deny_counter, actor_pool=actor_pool,
+                    pre_ds=pre_ds, deny_counter=deny_counter,
                 )
                 _commit(wid, start, end, stats, w_t0)
-                continue
-            # non-pipelined path: either no actor pool (pre_ds, if any, is a
-            # materialized stateless half) or no lookahead (nothing prefed) —
-            # run_window feeds + finishes with its own bounded retries
-            stats = run_window(
-                log_dir, lake_root, wcfg, start, end,
-                pre_ds=pre_ds, deny_counter=deny_counter,
-                actor_pool=actor_pool,
-            )
-            _commit(wid, start, end, stats, w_t0)
-        while inflight:
-            _drain_one()
         if actor_pool is not None:
             # clean completion: let pending background compactions land so
             # the lake ends in its steady compacted shape (failure paths

@@ -101,6 +101,36 @@ def _file_ts_range(f: str) -> tuple[int, int] | None:
     return rng
 
 
+_HEAP_STATS_CACHE: dict[tuple[str, int, int], tuple[int, int]] = {}
+
+
+def log_heap_stats(log_dir: str) -> tuple[int, int]:
+    """(total_rows, total_uncompressed_bytes) from parquet footers — the
+    density input for memory-budget sizing (auto feed-group width).  Footer
+    reads are cached per (path, mtime, size) like the schema probe."""
+    rows = 0
+    ubytes = 0
+    for f in _log_files(log_dir):
+        st = os.stat(f)
+        key = (f, st.st_mtime_ns, st.st_size)
+        v = _HEAP_STATS_CACHE.get(key)
+        if v is None:
+            md = pq.read_metadata(f)
+            v = (
+                md.num_rows,
+                sum(
+                    md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups)
+                ),
+            )
+            _HEAP_STATS_CACHE[key] = v
+            if len(_HEAP_STATS_CACHE) > 65536:
+                _HEAP_STATS_CACHE.clear()
+        rows += v[0]
+        ubytes += v[1]
+    return rows, ubytes
+
+
 def unified_schema(log_dir: str) -> pa.Schema:
     """Metadata-only scan: unify all fragment schemas (missing columns become
     nullable)."""

@@ -105,6 +105,9 @@ class _ApplyActor:
         # set to the failing window id by a finish that raised; all later
         # finishes fail-closed before any commit (see module docstring)
         self._poisoned: str | None = None
+        # per-file row counts (footer reads, immutable files → cache forever)
+        # for the size-tiered compaction trigger
+        self._rows_cache: dict[str, int] = {}
 
     def ping(self) -> int:
         return self.idx
@@ -115,6 +118,41 @@ class _ApplyActor:
         order is created at finish time by the fold's explicit sort."""
         with self._lock:
             self.buffers.setdefault(window_id, []).append(table)
+        return len(table)
+
+    @ray.method(concurrency_group="ingest")
+    def accept_group(
+        self, window_ids: list, window_ends: list, table: pa.Table
+    ) -> int:
+        """Buffer one mixed-window sub-table of a feed GROUP: segment by ts
+        into per-window zero-copy slices here, so the feed wave ships ONE
+        object per (block, actor) regardless of group width — splitting by
+        (window, actor) in the feed task fragmented the exchange into G×
+        more, G× smaller plasma objects (measured: the per-object overhead,
+        not bytes, dominated the feed wall)."""
+        import pyarrow.compute as pc
+
+        ts = pc.cast(table["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ends = np.asarray(window_ends, dtype=np.int64)
+        # fast path: CDC blocks are time-contiguous, so most slices fall
+        # entirely inside ONE window — detect via min/max and buffer the
+        # table zero-copy instead of sort+gather
+        w_lo = int(np.searchsorted(ends, int(ts.min()), side="left"))
+        w_hi = int(np.searchsorted(ends, int(ts.max()), side="left"))
+        if w_lo == w_hi:
+            with self._lock:
+                self.buffers.setdefault(window_ids[w_lo], []).append(table)
+            return len(table)
+        order = np.argsort(ts, kind="stable")
+        t = table.take(pa.array(order, type=pa.int64()))
+        bounds = np.searchsorted(ts[order], ends, side="right")
+        starts = np.concatenate(([0], bounds[:-1]))
+        with self._lock:
+            for wid, s, e in zip(window_ids, starts, bounds):
+                if e > s:
+                    self.buffers.setdefault(wid, []).append(
+                        t.slice(int(s), int(e - s))
+                    )
         return len(table)
 
     def drop_window(self, window_id: str) -> None:
@@ -186,7 +224,7 @@ class _ApplyActor:
             if (
                 deferred
                 and committed is not None
-                and len(committed.chain()) > self.cfg.compact_threshold
+                and self._should_compact(committed)
             ):
                 to_compact.append(pid)
             rows.append(stats)
@@ -202,6 +240,37 @@ class _ApplyActor:
             for pid in to_compact:
                 me.compact_partition.remote(pid)
         return pd.concat(rows, ignore_index=True)
+
+    def _file_rows(self, rel: str) -> int:
+        r = self._rows_cache.get(rel)
+        if r is None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            try:
+                r = pq.read_metadata(os.path.join(self.lake_root, rel)).num_rows
+            except OSError:
+                r = -1
+            self._rows_cache[rel] = r
+        return r
+
+    def _should_compact(self, m: Manifest) -> bool:
+        """Size-tiered trigger: compact when pending delta rows ≥
+        compact_rows_factor × base rows (amortized write amplification ≈
+        1 + (factor+1)/factor — see config.py), OR when the chain exceeds
+        the compact_threshold length cap (merge-on-read latency bound).
+        Row counts come from cached parquet footer reads of the immutable
+        chain files; an unreadable footer falls back to the length cap."""
+        chain = m.chain()
+        if len(chain) <= 1:
+            return False
+        if len(chain) > self.cfg.compact_threshold:
+            return True
+        rows = [self._file_rows(rel) for rel in chain]
+        if any(r < 0 for r in rows):
+            return False  # length cap already checked above
+        return sum(rows[1:]) >= self.cfg.compact_rows_factor * max(rows[0], 1)
 
     def _maybe_inject_finish_fault(self, window_id: str) -> None:
         """Fault-injection hook (tests only): consume the one-shot flag file
@@ -240,7 +309,7 @@ class _ApplyActor:
         if m is None:
             m = read_manifest(self.lake_root, pid)
         chain = m.chain()
-        if len(chain) <= self.cfg.compact_threshold:
+        if not self._should_compact(m):
             return False
         payload = tuple(self.cfg.payload_cols)
         base = merge_partition_chain(self.lake_root, chain, payload)
@@ -281,6 +350,51 @@ class _ApplyActor:
 
 
 @ray.remote(max_retries=0)
+def _feed_block_group(
+    actors: list, window_ends: list, window_ids: list, block: pa.Table
+) -> list:
+    """Multi-window variant of `_feed_block`: one streaming executor covers
+    the whole GROUP's read+parse — measured 2.3× faster than
+    `lookahead_depth` CONCURRENT per-window executors at 32 cpus (9.7 s vs
+    4.2 s for the same 46 M-event read: driver-side executor contention,
+    not cluster work, dominated the per-window path).  The split here is by
+    owning ACTOR only (one shipped object per (block, actor), exactly like
+    `_feed_block`); the actor segments its slice by window at accept time —
+    splitting by (window, actor) here was measured slower: G× more, G×
+    smaller plasma objects."""
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if len(block) == 0:
+        return []
+    num_actors = len(actors)
+    pids = block["partition_id"]
+    if isinstance(pids, pa.ChunkedArray):
+        pids = pids.combine_chunks()
+    pid_np = pids.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    aidx = pid_np % num_actors
+    if len(aidx) < 2 or bool(np.all(aidx[1:] >= aidx[:-1])):
+        # ParseStage presorted the block by owning actor (route_actors) —
+        # ship zero-copy slices, no gather
+        t = block
+        aidx_sorted = aidx
+    else:
+        order = np.argsort(aidx, kind="stable")
+        t = block.take(pa.array(order, type=pa.int64()))
+        aidx_sorted = aidx[order]
+    bounds = np.searchsorted(aidx_sorted, np.arange(num_actors + 1))
+    acks = []
+    for a in range(num_actors):
+        s, e = int(bounds[a]), int(bounds[a + 1])
+        if e > s:
+            acks.append(
+                actors[a].accept_group.remote(
+                    window_ids, window_ends, t.slice(s, e - s)
+                )
+            )
+    return acks
+
+
+@ray.remote(max_retries=0)
 def _feed_block(actors: list, window_id: str, block: pa.Table) -> list:
     """Split one parsed block by owning actor (one vectorized stable argsort
     + zero-copy slices; Arrow IPC truncates sliced buffers on send), ship
@@ -305,9 +419,13 @@ def _feed_block(actors: list, window_id: str, block: pa.Table) -> list:
         pids = pids.combine_chunks()
     pid_np = pids.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     aidx = pid_np % num_actors
-    order = np.argsort(aidx, kind="stable")
-    t = block.take(pa.array(order, type=pa.int64()))
-    aidx_sorted = aidx[order]
+    if len(aidx) < 2 or bool(np.all(aidx[1:] >= aidx[:-1])):
+        t = block  # presorted by ParseStage(route_actors) — zero-copy
+        aidx_sorted = aidx
+    else:
+        order = np.argsort(aidx, kind="stable")
+        t = block.take(pa.array(order, type=pa.int64()))
+        aidx_sorted = aidx[order]
     bounds = np.searchsorted(aidx_sorted, np.arange(num_actors + 1))
     acks = []
     for a in range(num_actors):
@@ -386,6 +504,29 @@ class ActorApplyPool:
             for block_ref in bundle.block_refs:
                 feed_refs.append(
                     _feed_block.remote(self.actors, window_id, block_ref)
+                )
+        ack_refs = [r for refs in ray.get(feed_refs) for r in refs]
+        return int(sum(ray.get(ack_refs)))
+
+    def feed_group(self, ds, windows: list) -> int:
+        """Drive ONE group dataset (read+parse spanning several consecutive
+        windows) into the actors, splitting by (window, actor) in the feed
+        wave.  ``windows`` is the ordered list of ``(start_us, end_us,
+        window_id)`` the dataset covers.  The two-level ``ray.get`` is the
+        delivery barrier for the WHOLE group: when it returns, every row of
+        every window in the group is buffered in its owning actor, so the
+        group's finishes can be submitted in window order.  Commit/replay
+        granularity stays ONE window — grouping widens only the execution
+        wave, never the exactly-once unit."""
+        window_ends = [int(e) for _, e, _ in windows]
+        window_ids = [w for _, _, w in windows]
+        feed_refs = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                feed_refs.append(
+                    _feed_block_group.remote(
+                        self.actors, window_ends, window_ids, block_ref
+                    )
                 )
         ack_refs = [r for refs in ray.get(feed_refs) for r in refs]
         return int(sum(ray.get(ack_refs)))

@@ -54,7 +54,7 @@ def _cfg(log_dir, n_windows, **kw):
 @pytest.mark.usefixtures("ray_session")
 class TestDeltaMode:
     def test_delta_matches_oracle_no_compaction(self, log_dir, log_df, tmp_lake):
-        cfg = _cfg(log_dir, 3, compact_threshold=10)  # never compacts
+        cfg = _cfg(log_dir, 3, compact_threshold=10)  # length cap never reached
         run_ingest(log_dir, tmp_lake, cfg)
         deltas = glob.glob(f"{tmp_lake}/lake/p=*/delta-*.parquet")
         assert len(deltas) > 0

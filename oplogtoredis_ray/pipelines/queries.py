@@ -1202,6 +1202,71 @@ def q_cdc_apply(sf_dir: str):
 
 MEDIA_N = 240  # deterministic synthetic media corpus size (seeded)
 MEDIA_FEATURE_DIM = 16
+MEDIA_FRAMES = 4
+
+
+def _ensure_media_table(sf_dir: str) -> str:
+    """Write the deterministic decodable media table (PPM/BMP/WAV) under
+    the oracle dir once; both the engine queries and the DuckDB oracle read
+    the SAME parquet file."""
+    import pyarrow.parquet as pq
+
+    od = _oracle_dir(sf_dir)
+    os.makedirs(od, exist_ok=True)
+    media_path = os.path.join(od, "media.parquet")
+    if not os.path.exists(media_path):
+        from oplogtoredis_ray.stages.multimodal import (
+            synthesize_decodable_media_table,
+        )
+
+        pq.write_table(
+            synthesize_decodable_media_table(MEDIA_N, seed=7), media_path
+        )
+    return media_path
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame sampling under the oracle gate: media payloads →
+    actor-pool `FrameSampleStage` (K deterministic stub frames per payload,
+    stages/multimodal.py) → one row per (media_id, frame_idx) with the
+    frame's byte length and an md5 over its hex encoding.  The oracle
+    replays the slicing in pure SQL — DuckDB has no blob substring, so both
+    engines hash ``substring(hex(payload))``, which is byte-exact."""
+    import hashlib
+
+    import ray.data as rd
+
+    from oplogtoredis_ray.stages.multimodal import FrameSampleStage
+
+    media_path = _ensure_media_table(sf_dir)
+    frames = rd.read_parquet(media_path).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"k_frames": MEDIA_FRAMES},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        blobs = t["frame"].to_pylist()
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_idx": pc.cast(t["frame_idx"], pa.int64()),
+                "frame_len": pa.array(
+                    [len(b) for b in blobs], type=pa.int64()
+                ),
+                "frame_md5": pa.array(
+                    [
+                        hashlib.md5(b.hex().upper().encode()).hexdigest()
+                        for b in blobs
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return frames.map_batches(digest, batch_format="pyarrow")
 
 
 def q_media_features(sf_dir: str):
@@ -1217,22 +1282,15 @@ def q_media_features(sf_dir: str):
     (/root/reference/integration-tests/acceptance/harness_test.go:32-147)."""
     import shutil
 
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from oplogtoredis_ray.stages.multimodal import (
         MediaDecodeExplode,
         MediaFeatureStage,
-        synthesize_decodable_media_table,
     )
 
     od = _oracle_dir(sf_dir)
-    os.makedirs(od, exist_ok=True)
-    media_path = os.path.join(od, "media.parquet")
-    if not os.path.exists(media_path):
-        pq.write_table(
-            synthesize_decodable_media_table(MEDIA_N, seed=7), media_path
-        )
+    media_path = _ensure_media_table(sf_dir)
     decoded_dir = os.path.join(od, "media_decoded")
     if os.path.isdir(decoded_dir):
         shutil.rmtree(decoded_dir)
@@ -1315,6 +1373,7 @@ QUERIES = {
     "running_total": q_running_total,
     "anti_join_users": q_anti_join_users,
     "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -1720,6 +1779,23 @@ def oracle_sql_map(sf_name: str = "sf0.01") -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS chunk_n
             FROM read_parquet('{od}/media_decoded/*.parquet')
             GROUP BY 1, 2, 3, 4
+        """,
+        "frame_sample": f"""
+            -- replay the deterministic frame slicing in SQL: DuckDB has no
+            -- blob substring, so both engines hash substring(hex(payload))
+            WITH m AS (
+              SELECT media_id, payload,
+                     GREATEST(octet_length(payload) // {MEDIA_FRAMES}, 1) AS step
+              FROM read_parquet('{od}/media.parquet')),
+            f AS (
+              SELECT media_id, payload, step,
+                     UNNEST(range({MEDIA_FRAMES})) AS frame_idx
+              FROM m)
+            SELECT media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(LEAST(step, GREATEST(octet_length(payload) - frame_idx*step, 0)) AS BIGINT) AS frame_len,
+                   md5(substring(hex(payload), CAST(frame_idx*step*2 + 1 AS BIGINT), CAST(step*2 AS BIGINT))) AS frame_md5
+            FROM f
         """,
         "simhash_pairs": f"""
             WITH s AS (SELECT doc_id, simhash, bucket

@@ -650,14 +650,19 @@ def run_ingest(
                 cur.append(s_e_w)
             if cur:
                 runs.append(cur)
-            # uniform width-capped groups.  (A ramped [1,2,4,…,1] schedule
-            # that shrinks the pipeline fill/drain walls was measured: ~0 at
-            # 32 cpus and NEGATIVE at 8 cpus — the extra per-group streaming
-            # -executor startups cost more than the overlap they buy.)
+            # uniform width-capped groups, with ONE window split off the
+            # final group: the last group's folds have no next feed to hide
+            # behind, so a 1-window tail shrinks the pipeline-drain wall to
+            # ~one fold wave.  (A full [1,2,4,…,1] HEAD ramp was measured
+            # and rejected: the extra per-group streaming-executor startups
+            # cost more than the fill overlap they buy.)
             groups: list[list[tuple[int, int, str]]] = []
             for run in runs:
                 for i in range(0, len(run), group_width):
                     groups.append(run[i : i + group_width])
+            if groups and len(groups[-1]) > 2:
+                tail = groups[-1].pop()
+                groups.append([tail])
             ncpu = (
                 int(ray.cluster_resources().get("CPU", 8))
                 if ray.is_initialized()

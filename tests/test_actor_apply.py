@@ -199,6 +199,47 @@ class TestActorApply:
         for m in read_all_manifests(tmp_lake):
             assert list(m.lineage) == [w for w in wids if w in m.lineage]
 
+    def test_actor_killed_mid_grouped_ingest(self, log_dir, log_df, tmp_lake):
+        """ray.kill one pool member while the grouped run_ingest is between
+        window commits: subsequent finishes/feeds on the dead actor fail,
+        the driver flushes the stale in-flight windows, recreates the pool
+        and replays — the lake must still match the oracle row-for-row."""
+        import ray
+
+        from oplogtoredis_ray.pipelines import ingest as I
+
+        killed = {"done": False}
+
+        def kill_one(agg):
+            if not killed["done"]:
+                pool = _live_pools[-1]
+                if pool.actors:
+                    ray.kill(pool.actors[0], no_restart=True)
+                    killed["done"] = True
+
+        # capture pool handles as run_ingest creates them
+        from oplogtoredis_ray.stages.actor_apply import ActorApplyPool
+
+        _live_pools = []
+        orig_init = ActorApplyPool.__init__
+
+        def spy_init(self, *a, **k):
+            orig_init(self, *a, **k)
+            _live_pools.append(self)
+
+        ActorApplyPool.__init__ = spy_init
+        try:
+            cfg = _cfg(
+                log_dir, 6, state_mode="delta", compact_threshold=3,
+                window_lookahead=True,
+            )
+            res = I.run_ingest(log_dir, tmp_lake, cfg, on_window=kill_one)
+        finally:
+            ActorApplyPool.__init__ = orig_init
+        assert killed["done"]
+        assert res.windows_run == 6
+        _assert_matches_oracle(tmp_lake, log_df)
+
     def test_poisoned_actor_refuses_next_finish(self, log_dir, tmp_lake):
         """Unit-level pin of the poison semantics: after a finish raises,
         the next finish on the same actor raises BEFORE committing."""

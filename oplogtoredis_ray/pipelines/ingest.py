@@ -166,15 +166,12 @@ def build_window_dataset(
     end_us: int,
     deny_counter=None,
     read_blocks: int | None = None,
-    route_actors: int | None = None,
 ):
     """The stateless half of a window: read → parse (→ salt tag).  Depends
     on NO lake state (dedup/fold happen in the apply phase), so it can be
     built — and even materialized — ahead of the preceding window's apply
     (window lookahead).  ``read_blocks`` overrides cfg for multi-window
-    GROUP datasets (blocks scale with the group span); ``route_actors``
-    makes the parse stage presort blocks by owning apply actor so feed
-    tasks ship zero-copy slices."""
+    GROUP datasets (blocks scale with the group span)."""
     blocks = read_blocks if read_blocks is not None else cfg.read_blocks
     if blocks is None:
         import ray
@@ -196,7 +193,7 @@ def build_window_dataset(
         parse_kwargs["concurrency"] = cfg.parse_concurrency
     ds = ds.map_batches(
         ParseStage(cfg, deadletter, emit_changed_fields=False,
-                   deny_counter=deny_counter, route_actors=route_actors),
+                   deny_counter=deny_counter),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         **_retry_args(cfg),

@@ -322,7 +322,13 @@ def q_ordered_rank(sf_dir: str):
 def q_cdc_last_state(sf_dir: str):
     """Flagship fold semantics over the shared events table: ops derived
     deterministically from event_id; per (user_id, event_type) the engine's
-    insert/patch/delete fold must equal the SQL li/ld/arg_max construction."""
+    insert/patch/delete fold must equal the SQL li/ld/arg_max construction.
+    Coarse-bucket exchange on conv_id (64 task dispatches regardless of key
+    cardinality); the per-key fold is recreated INSIDE the task by
+    `fold_events`' vectorized key segmentation — grouping directly on
+    (conv_id, turn_idx) dispatched one pandas UDF per distinct key, the
+    repo's measured 60 s/190k-groups anti-pattern (≙ the reference's
+    per-SHARD ordered fold, publisher.go:160-226, never per key)."""
     from oplogtoredis_ray.stages.fold import fold_events, sort_and_dedup
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
@@ -342,9 +348,13 @@ def q_cdc_last_state(sf_dir: str):
             }
         )
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged = ds.map_batches(tag, batch_format="pyarrow").map_batches(
+        _add_key_bucket("conv_id"), batch_format="pyarrow"
+    )
 
-    def fold_group(g: pd.DataFrame) -> pd.DataFrame:
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # fold_events segments by (conv_id, turn_idx) internally, so one
+        # task folds ALL keys of its bucket in one vectorized pass
         folded = fold_events(sort_and_dedup(g), payload_cols=("value",))
         live = folded[folded["outcome"] == "upsert"]  # patch-only keys have no state
         return pd.DataFrame(
@@ -352,13 +362,15 @@ def q_cdc_last_state(sf_dir: str):
                 "user_id": live["conv_id"].astype("int64"),
                 "event_type": live["turn_idx"],
                 "last_value": live["value"].astype("float64"),
-                "last_ts": pd.to_datetime(live["ts"].astype("int64"), unit="us"),
+                # pin µs resolution (pd.to_datetime yields ns) so the Arrow
+                # block schema matches the parquet/oracle timestamp[us]
+                "last_ts": pd.to_datetime(
+                    live["ts"].astype("int64"), unit="us"
+                ).astype("datetime64[us]"),
             }
         )
 
-    return tagged.groupby(["conv_id", "turn_idx"]).map_groups(
-        fold_group, batch_format="pandas"
-    )
+    return tagged.groupby("bucket").map_groups(fold_bucket, batch_format="pandas")
 
 
 def q_interval_max(sf_dir: str):
@@ -379,16 +391,58 @@ def q_interval_max(sf_dir: str):
 
 def q_changed_fields_json(sf_dir: str):
     """M7: the changed-fields kernel applied to JSON payload docs (top-level
-    keys, insert semantics)."""
+    keys, insert semantics).  Vectorized: the whole batch's props column is
+    parsed in ONE C++ `pyarrow.json.read_json` call (newline-delimited view
+    of the column, zero per-row Python on the fast path); per-row fallback
+    to the exact `changed_fields` kernel only when the batch is not a
+    uniform envelope (heterogeneous key sets / JSON-null values / key order
+    differing from schema order), where the struct view can't reproduce
+    per-document key order."""
+    import io
+
+    import pyarrow.json as pj
+
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
 
     def cf(t: pa.Table) -> pa.Table:
-        fields = [
-            ",".join(changed_fields("i", json.loads(p))) for p in t["props"].to_pylist()
-        ]
-        return pa.table(
-            {"event_id": t["event_id"], "changed_fields": pa.array(fields, type=pa.string())}
+        props = t["props"].combine_chunks()
+        # one buffer, one parse: join the column into NDJSON without a
+        # Python loop (binary_join over a single whole-column list)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(props)], type=pa.int32()), props
+            ),
+            "\n",
         )
+        parsed = pj.read_json(io.BytesIO(joined[0].as_py().encode()))
+        names = parsed.column_names
+        # fast path is exact iff every row has every key, no JSON nulls
+        # (read_json can't distinguish null from absent), and document key
+        # order == schema order in every row (json_keys is document-order)
+        fast = bool(names) and all(parsed[c].null_count == 0 for c in names)
+        if fast:
+            prev = None
+            for name in names:
+                pos = pc.find_substring(props, f'"{name}"').to_numpy(
+                    zero_copy_only=False
+                )
+                if (pos < 0).any() or (prev is not None and not (pos > prev).all()):
+                    fast = False
+                    break
+                prev = pos
+        if fast:
+            fields = pa.array(
+                np.full(len(t), ",".join(names), dtype=object), type=pa.string()
+            )
+        else:
+            fields = pa.array(
+                [
+                    ",".join(changed_fields("i", json.loads(p)))
+                    for p in props.to_pylist()
+                ],
+                type=pa.string(),
+            )
+        return pa.table({"event_id": t["event_id"], "changed_fields": fields})
 
     return ds.map_batches(cf, batch_format="pyarrow")
 
@@ -1316,7 +1370,7 @@ def q_media_features(sf_dir: str):
         dim = MEDIA_FEATURE_DIM
         idx = np.repeat(np.arange(n, dtype=np.int64), dim)
         take = pa.array(idx, type=pa.int64())
-        return pa.table(
+        out = pa.table(
             {
                 "media_id": pc.take(t["media_id"], take),
                 "kind": pc.take(t["kind"], take),
@@ -1330,6 +1384,10 @@ def q_media_features(sf_dir: str):
                 ),
             }
         )
+        # a payload decoding to fewer than feature_dim values yields empty
+        # trailing chunks; the oracle's GROUP BY over the exploded decode
+        # cannot produce those rows — agree by construction
+        return out.filter(pc.greater(out["chunk_n"], 0))
 
     return feats.map_batches(flatten, batch_format="pyarrow")
 

@@ -134,6 +134,15 @@ class _ApplyActor:
 
         ts = pc.cast(table["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         ends = np.asarray(window_ends, dtype=np.int64)
+        # the caller's read filter must bound rows by the group span — fail
+        # LOUDLY (and identically on both paths) if that invariant drifts:
+        # the slow path would otherwise silently drop rows past ends[-1]
+        # while the fast path would IndexError on window_ids[w_lo]
+        if int(ts.max()) > int(ends[-1]):
+            raise ValueError(
+                f"accept_group: rows beyond group span (max ts {int(ts.max())} "
+                f"> last window end {int(ends[-1])}) — read filter / schedule drift"
+            )
         # fast path: CDC blocks are time-contiguous, so most slices fall
         # entirely inside ONE window — detect via min/max and buffer the
         # table zero-copy instead of sort+gather
@@ -267,6 +276,12 @@ class _ApplyActor:
             return False
         if len(chain) > self.cfg.compact_threshold:
             return True
+        import math
+
+        if math.isinf(self.cfg.compact_rows_factor):
+            # default config: the size comparison below can never be true —
+            # skip the per-finish footer reads on the fold critical path
+            return False
         rows = [self._file_rows(rel) for rel in chain]
         if any(r < 0 for r in rows):
             return False  # length cap already checked above
@@ -373,8 +388,8 @@ def _feed_block_group(
     pid_np = pids.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     aidx = pid_np % num_actors
     if len(aidx) < 2 or bool(np.all(aidx[1:] >= aidx[:-1])):
-        # ParseStage presorted the block by owning actor (route_actors) —
-        # ship zero-copy slices, no gather
+        # block already actor-sorted (e.g. a single-actor pool or a
+        # naturally clustered block) — ship zero-copy slices, no gather
         t = block
         aidx_sorted = aidx
     else:
@@ -420,7 +435,7 @@ def _feed_block(actors: list, window_id: str, block: pa.Table) -> list:
     pid_np = pids.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     aidx = pid_np % num_actors
     if len(aidx) < 2 or bool(np.all(aidx[1:] >= aidx[:-1])):
-        t = block  # presorted by ParseStage(route_actors) — zero-copy
+        t = block  # already actor-sorted — zero-copy slices
         aidx_sorted = aidx
     else:
         order = np.argsort(aidx, kind="stable")

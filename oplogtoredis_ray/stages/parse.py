@@ -67,7 +67,6 @@ class ParseStage:
         deadletter_dir: str | None = None,
         emit_changed_fields: bool = True,
         deny_counter=None,
-        route_actors: int | None = None,
     ):
         self.cfg = cfg
         self.deadletter_dir = deadletter_dir
@@ -84,13 +83,10 @@ class ParseStage:
         # per-actor partition-hash memo: conv ids recur across batches, so the
         # sha256 is paid once per conv per actor, not once per conv per batch
         self._pid_cache: dict[str, int] = {}
-        # standing-exchange presort hook (pid % route_actors).  Measured
-        # NEUTRAL at both 8 and 32 cpus — moving the gather from the feed
-        # task into parse saves nothing because the accept-side
-        # serialization copies the slice regardless — so the ingest path
-        # leaves it None; kept because external callers building their own
-        # exchanges can use it to skip the feed-task gather
-        self.route_actors = route_actors
+        # (a route_actors presort hook lived here through round 4; it
+        # measured NEUTRAL — the accept-side serialization copies the slice
+        # regardless — and no shipped path used it, so it was dropped.
+        # Rationale recorded in DESIGN.md "measured and rejected".)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -208,10 +204,6 @@ class ParseStage:
             order.append("changed_fields")
         order.append("partition_id")
         batch = batch.select(order)
-        if self.route_actors and n:
-            aidx = np.asarray(pids, dtype=np.int64) % self.route_actors
-            take = np.argsort(aidx, kind="stable")
-            batch = batch.take(pa.array(take, type=pa.int64()))
         return batch
 
     def _partition_ids(self, conv: pa.ChunkedArray | pa.Array) -> np.ndarray:

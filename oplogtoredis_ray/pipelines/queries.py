@@ -692,43 +692,16 @@ def q_ivf_topk(sf_dir: str):
     )
 
 
-class _JaccardFilter:
-    """Batch stage: keep (a_id, b_id) pairs whose gram-intersection count
-    clears the integer Jaccard threshold, using the broadcast per-doc gram
-    sizes (sized by the pruned candidate subset, not the corpus)."""
-
-    def __init__(self, sizes_ref, pct: int):
-        import ray
-
-        self.sizes = ray.get(sizes_ref) if not isinstance(sizes_ref, dict) else sizes_ref
-        self.pct = pct
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
-        na = pd.Series(a).map(self.sizes).to_numpy(dtype=np.int64)
-        nb = pd.Series(b).map(self.sizes).to_numpy(dtype=np.int64)
-        keep = inter * 100 >= self.pct * (na + nb - inter)
-        return pa.table(
-            {
-                "a_id": pa.array(a[keep], type=pa.int64()),
-                "b_id": pa.array(b[keep], type=pa.int64()),
-            }
-        )
-
-
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-bigram Jaccard pairs (≥5%) on a filtered subset, as a
     DISTRIBUTED gram-bucket join (mirrors the oracle SQL): explode distinct
     (doc_id, gram) rows → per-gram upper-triangle pairs → pair-count
-    aggregation → threshold filter with broadcast gram sizes.  The driver
+    aggregation → threshold filter via two bucketed size joins (a_id then
+    b_id) — nothing key-sized ever lands on the driver, so the verified-
+    candidate set can be arbitrarily large at corpus scale.  The driver
     only ever sees the final pair list (at scale MinHash-LSH prunes
     candidates first and this exact measure is the verifier).  Integer
     threshold arithmetic keeps the SQL oracle bit-exact."""
-    import ray
-    from ray.data.aggregate import Count
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def subset(t: pa.Table) -> pa.Table:
@@ -754,13 +727,24 @@ def q_ngram_jaccard(sf_dir: str):
         )
 
     gram_rows = ds.map_batches(grams, batch_format="pyarrow")
-    # per-doc distinct gram counts: small (candidate subset), broadcast once
-    sizes_pd = (
-        gram_rows.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    )
-    sizes_ref = ray.put(
-        dict(zip(sizes_pd["doc_id"].astype(int), sizes_pd["n"].astype(int)))
-    )
+
+    def gram_sizes(t: pa.Table) -> pa.Table:
+        # each doc's text lives in exactly one row, so per-doc distinct gram
+        # counts need NO exchange — one output row per input doc
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        ns = [
+            len({f"{a} {b}" for a, b in zip(w, w[1:])})
+            for w in (txt.strip().lower().split() for txt in texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    sizes = ds.map_batches(gram_sizes, batch_format="pyarrow")
 
     # two-level grouping: the distributed exchange groups on a coarse
     # deterministic gram-hash bucket; the task segments its block by exact
@@ -839,11 +823,114 @@ def q_ngram_jaccard(sf_dir: str):
         .groupby("pair_bucket")
         .map_groups(count_pairs, batch_format="pandas")
     )
-    return pair_counts.map_batches(
-        _JaccardFilter,
-        fn_constructor_args=(sizes_ref, 5),
-        batch_format="pyarrow",
-        concurrency=2,
+
+    # ---- threshold filter via two bucketed size joins (union-cogroup) ----
+    # the per-doc gram sizes stay a DATASET end to end: join them onto the
+    # pair counts keyed on a_id, then on b_id — the order_revenue
+    # partitioned-join shape — instead of assembling a doc->size dict on
+    # the driver (O(candidate set) driver memory at corpus scale)
+    PCT = 5
+
+    def _mix_bucket(col) -> pa.Array:
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        with np.errstate(over="ignore"):
+            mixed = k.view(np.uint64) * _KEY_GOLD
+        return pa.array((mixed % np.uint64(NUM_GRAM_BUCKETS)).astype(np.int64))
+
+    def tag_sizes_a(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out = pa.table(
+            {
+                "key": pc.cast(t["doc_id"], pa.int64()),
+                "other": pa.nulls(n, pa.int64()),
+                "inter": pa.nulls(n, pa.int64()),
+                "sz": pc.cast(t["n"], pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+        return out.append_column("jbucket", _mix_bucket(out["key"]))
+
+    def tag_pairs_a(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out = pa.table(
+            {
+                "key": pc.cast(t["a_id"], pa.int64()),
+                "other": pc.cast(t["b_id"], pa.int64()),
+                "inter": pc.cast(t["inter"], pa.int64()),
+                "sz": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+        return out.append_column("jbucket", _mix_bucket(out["key"]))
+
+    def join_a(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.loc[g["side"] == 0, ["key", "sz"]]
+        p = g.loc[g["side"] == 1, ["key", "other", "inter"]]
+        out = p.merge(s, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "a_id": out["key"].astype("int64"),
+                "b_id": out["other"].astype("int64"),
+                "inter": out["inter"].astype("int64"),
+                "na": out["sz"].astype("int64"),
+            }
+        )
+
+    with_na = (
+        sizes.map_batches(tag_sizes_a, batch_format="pyarrow")
+        .union(pair_counts.map_batches(tag_pairs_a, batch_format="pyarrow"))
+        .groupby("jbucket")
+        .map_groups(join_a, batch_format="pandas")
+    )
+
+    def tag_sizes_b(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out = pa.table(
+            {
+                "key": pc.cast(t["doc_id"], pa.int64()),
+                "other": pa.nulls(n, pa.int64()),
+                "inter": pa.nulls(n, pa.int64()),
+                "na": pa.nulls(n, pa.int64()),
+                "sz": pc.cast(t["n"], pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+        return out.append_column("jbucket", _mix_bucket(out["key"]))
+
+    def tag_pairs_b(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out = pa.table(
+            {
+                "key": pc.cast(t["b_id"], pa.int64()),
+                "other": pc.cast(t["a_id"], pa.int64()),
+                "inter": pc.cast(t["inter"], pa.int64()),
+                "na": pc.cast(t["na"], pa.int64()),
+                "sz": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+        return out.append_column("jbucket", _mix_bucket(out["key"]))
+
+    def join_b_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.loc[g["side"] == 0, ["key", "sz"]]
+        p = g.loc[g["side"] == 1, ["key", "other", "inter", "na"]]
+        out = p.merge(s, on="key", how="inner")
+        inter = out["inter"].to_numpy(dtype=np.int64)
+        na = out["na"].to_numpy(dtype=np.int64)
+        nb = out["sz"].to_numpy(dtype=np.int64)
+        keep = inter * 100 >= PCT * (na + nb - inter)
+        return pd.DataFrame(
+            {
+                "a_id": out["other"].to_numpy(dtype=np.int64)[keep],
+                "b_id": out["key"].to_numpy(dtype=np.int64)[keep],
+            }
+        )
+
+    return (
+        sizes.map_batches(tag_sizes_b, batch_format="pyarrow")
+        .union(with_na.map_batches(tag_pairs_b, batch_format="pyarrow"))
+        .groupby("jbucket")
+        .map_groups(join_b_filter, batch_format="pandas")
     )
 
 

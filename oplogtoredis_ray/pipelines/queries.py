@@ -1355,7 +1355,14 @@ def _ensure_media_table(sf_dir: str) -> str:
     od = _oracle_dir(sf_dir)
     os.makedirs(od, exist_ok=True)
     media_path = os.path.join(od, "media.parquet")
-    if not os.path.exists(media_path):
+    stale = True
+    if os.path.exists(media_path):
+        # regenerate a cache written by an older synth version (round 5
+        # added PNG rows); engine + oracle always read the SAME file either
+        # way, this only refreshes coverage
+        meta = pq.read_table(media_path, columns=["mime"])
+        stale = "image/png" not in set(meta["mime"].to_pylist())
+    if stale:
         from oplogtoredis_ray.stages.multimodal import (
             synthesize_decodable_media_table,
         )

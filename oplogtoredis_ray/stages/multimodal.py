@@ -2,9 +2,10 @@
 columns with typed metadata.
 
 Decoding: the default decoder (functions/codecs.py) really decodes the
-container-free formats — PPM/PGM images, 24-bit BMP, PCM WAV — using only
+stdlib-representable formats — PPM/PGM images, 24-bit BMP, 8-bit
+non-interlaced PNG (zlib IDAT + full unfiltering), PCM WAV — using only
 stdlib + NumPy.  Formats that need codec libraries absent from this
-container (PNG/JPEG/MP4/...) raise ``NotImplementedError`` unless a decoder
+container (JPEG/MP4/...) raise ``NotImplementedError`` unless a decoder
 is injected — that stub path is deliberate and documented.  The Ray-side
 plumbing is real and tested either way: schemas, actor-pool signatures,
 batch sizing for large binary payloads, and the output layout.
@@ -68,13 +69,20 @@ def synthesize_media_table(n: int, seed: int = 0, payload_bytes: int = 4096) -> 
 
 def synthesize_decodable_media_table(n: int, seed: int = 0) -> pa.Table:
     """Deterministic media table whose payloads REALLY decode with the
-    default decoder: PPM images, BMP images and PCM WAV clips round-robin."""
-    from oplogtoredis_ray.functions.codecs import encode_bmp, encode_ppm, encode_wav
+    default decoder: PPM, BMP, PCM WAV, PNG-RGB and PNG-RGBA round-robin
+    (the PNGs use the "mixed" per-row filter schedule so every unfilter
+    path — None/Sub/Up/Average/Paeth — is exercised by the pipelines)."""
+    from oplogtoredis_ray.functions.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
 
     rng = np.random.default_rng(seed)
     kinds, mimes, payloads, widths, heights, durations = [], [], [], [], [], []
     for i in range(n):
-        mode = i % 3
+        mode = i % 5
         if mode == 0:
             img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
             kinds.append("image")
@@ -87,6 +95,18 @@ def synthesize_decodable_media_table(n: int, seed: int = 0) -> pa.Table:
             mimes.append("image/bmp")
             payloads.append(encode_bmp(img))
             widths.append(11); heights.append(9); durations.append(None)
+        elif mode == 2:
+            img = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+            kinds.append("image")
+            mimes.append("image/png")
+            payloads.append(encode_png(img, filter_type="mixed"))
+            widths.append(13); heights.append(10); durations.append(None)
+        elif mode == 3:
+            img = rng.integers(0, 256, (8, 9, 4), dtype=np.uint8)
+            kinds.append("image")
+            mimes.append("image/png")
+            payloads.append(encode_png(img, filter_type="mixed"))
+            widths.append(9); heights.append(8); durations.append(None)
         else:
             clip = rng.integers(-20000, 20000, (800, 2)).astype(np.int16)
             kinds.append("audio")

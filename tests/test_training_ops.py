@@ -325,13 +325,96 @@ class TestCodecs:
             encode_wav,
         )
 
+        from oplogtoredis_ray.functions.codecs import encode_png
+
         img = np.zeros((2, 2, 3), dtype=np.uint8)
         assert default_decoder(encode_ppm(img), "image/x-portable-pixmap").shape == (2, 2, 3)
         assert default_decoder(encode_bmp(img), "image/bmp").shape == (2, 2, 3)
+        assert default_decoder(encode_png(img), "image/png").shape == (2, 2, 3)
         clip = np.zeros((10, 1), dtype=np.int16)
         assert default_decoder(encode_wav(clip), "audio/wav").shape == (10, 1)
-        with pytest.raises(NotImplementedError):  # PNG needs a codec library
-            default_decoder(b"\x89PNG\r\n\x1a\n....", "image/png")
+        with pytest.raises(NotImplementedError):  # JPEG needs a codec library
+            default_decoder(b"\xff\xd8\xff\xe0....", "image/jpeg")
+
+    def test_png_roundtrip_all_filters_and_layouts(self):
+        from oplogtoredis_ray.functions.codecs import decode_png, encode_png
+
+        rng = np.random.default_rng(4)
+        for shape in [(7, 5), (7, 5, 2), (12, 16, 3), (9, 11, 4), (1, 1, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            for ft in [0, 1, 2, 3, 4, "mixed"]:
+                out = decode_png(encode_png(img, filter_type=ft))
+                assert np.array_equal(out, img), (shape, ft)
+
+    def test_png_golden_handbuilt(self):
+        """Decode a PNG built BY HAND from the spec (chunk layout, Sub and
+        Up filters, zlib IDAT) — independent of our own encoder."""
+        import struct
+        import zlib
+
+        from oplogtoredis_ray.functions.codecs import decode_png
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        # 2x2 RGB; row0 Sub-filtered, row1 Up-filtered
+        raw = (
+            b"\x01" + bytes([10, 20, 30, 30, 40, 50])
+            + b"\x02" + bytes([5, 5, 5, 10, 10, 10])
+        )
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        want = np.array(
+            [[[10, 20, 30], [40, 60, 80]], [[15, 25, 35], [50, 70, 90]]],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(decode_png(payload), want)
+
+    def test_png_rejects_malformed(self):
+        import struct
+        import zlib
+
+        from oplogtoredis_ray.functions.codecs import (
+            MediaDecodeError,
+            decode_png,
+            encode_png,
+        )
+
+        img = np.zeros((3, 3, 3), dtype=np.uint8)
+        good = encode_png(img)
+        # corrupt one IDAT byte → CRC must catch it
+        bad = bytearray(good)
+        idat_at = good.index(b"IDAT") + 4
+        bad[idat_at] ^= 0xFF
+        with pytest.raises(MediaDecodeError, match="CRC"):
+            decode_png(bytes(bad))
+        with pytest.raises(MediaDecodeError, match="IEND"):
+            decode_png(good[:-12])  # IEND stripped
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        idat = chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+        # palette (colortype 3), 16-bit depth, interlaced: all out of scope
+        for ihdr_fields, msg in [
+            ((1, 1, 8, 3, 0, 0, 0), "color type"),
+            ((1, 1, 16, 0, 0, 0, 0), "8-bit"),
+            ((1, 1, 8, 0, 0, 0, 1), "interlaced"),
+        ]:
+            p = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields)) + idat + chunk(b"IEND", b"")
+            with pytest.raises(MediaDecodeError, match=msg):
+                decode_png(p)
 
     @pytest.mark.usefixtures("ray_session")
     def test_media_pipeline_real_decoder_actor_pool(self):
@@ -464,6 +547,22 @@ class TestCodecProperties:
 
         img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
         assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24), ch=st.integers(1, 4),
+        ft=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_roundtrip_any_shape(self, h, w, ch, ft, seed):
+        from oplogtoredis_ray.functions.codecs import decode_png, encode_png
+
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, ch), dtype=np.uint8
+        )
+        out = decode_png(encode_png(img, filter_type=ft))
+        want = img.reshape(h, w) if ch == 1 else img
+        assert np.array_equal(out, want)
 
     @given(
         n=st.integers(1, 400), ch=st.integers(1, 2),

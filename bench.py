@@ -9,7 +9,13 @@ suite over the shared tables.
 Methodology: the synthetic log is generated once (cached in /tmp), the OS
 page cache and the Ray worker pool are warmed untimed, then the headline
 runs REPS times into fresh lakes and the best steady-state time is
-reported (the sandbox host is noisy; see BENCH/notes).
+reported.  The sandbox host suffers invisible external contention (round-4
+evidence: 5× wall-time spread on identical binaries), so the bench is
+SELF-ADJUDICATING: a fixed-work calibration probe (sha256 + sort) brackets
+every rep; reps whose probes deviate >1.5× from the session-quietest probe
+are marked poisoned and re-run within a bounded retry budget, and the
+artifact carries the per-rep probe times so a slow headline under a slow
+probe reads as contention, not regression.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
@@ -33,6 +39,48 @@ import tempfile
 import time
 
 REPS = int(os.environ.get("OTR_BENCH_REPS", "3"))
+# extra reps allowed when calibration flags a rep as contention-poisoned
+CAL_RETRY_BUDGET = int(os.environ.get("OTR_BENCH_CAL_RETRIES", "3"))
+# a rep is poisoned when its worst probe exceeds session-best × this
+CAL_POISON_RATIO = 1.5
+
+_CAL_STATE: dict = {}
+
+
+def _calibration_probe() -> float:
+    """Fixed-work contention probe: sha256 over a 64 MiB buffer + sort of
+    8e6 scrambled int64 (CPU + memory bandwidth — the two resources the
+    sandbox's invisible co-tenants steal), min-of-3 trials.  The min
+    filters transient same-host spikes (idle Ray workers wake briefly and
+    can triple a single trial — measured) while SUSTAINED external
+    contention slows all three trials and still registers.  Run
+    before/after each headline rep; a rep whose WORST probe deviates >1.5×
+    from the session best ran under external contention and its time is
+    not evidence.  ~0.18 s per trial on a quiet host (first call pays
+    first-touch and is warmed untimed)."""
+    import hashlib
+
+    import numpy as np
+
+    if "buf" not in _CAL_STATE:
+        buf = np.arange(8 * 1024 * 1024, dtype=np.int64)  # 64 MiB
+        with np.errstate(over="ignore"):
+            arr = (buf.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)).view(
+                np.int64
+            )
+        _CAL_STATE["buf"] = buf
+        _CAL_STATE["arr"] = arr
+        hashlib.sha256(memoryview(buf)).digest()  # warm
+        np.sort(arr)  # warm (first-touch of the sort copy)
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.sha256(memoryview(_CAL_STATE["buf"])).digest()
+        np.sort(_CAL_STATE["arr"])
+        trials.append(time.perf_counter() - t0)
+    dt = min(trials)
+    _CAL_STATE["best"] = min(_CAL_STATE.get("best", dt), dt)
+    return dt
 
 
 def _quiet_empty_schema_warnings() -> None:
@@ -92,14 +140,44 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
     )
     import shutil
 
-    times = []
-    for _ in range(REPS):
+    def one_rep() -> dict:
+        cal_before = _calibration_probe()
         lake_root = tempfile.mkdtemp(prefix="otr_bench_lake_")
         t0 = time.perf_counter()
         run_ingest(log_dir, lake_root, cfg)
-        times.append(time.perf_counter() - t0)
+        sec = time.perf_counter() - t0
         shutil.rmtree(lake_root, ignore_errors=True)
-    best = min(times)
+        cal_after = _calibration_probe()
+        return {
+            "sec": round(sec, 3),
+            "cal_before": round(cal_before, 3),
+            "cal_after": round(cal_after, 3),
+        }
+
+    # self-adjudicating reps: the fixed-work probe brackets each rep; reps
+    # bracketed by slow probes ran under external host contention (observed
+    # 5× wall-time swings on identical binaries) and are re-run within a
+    # bounded retry budget rather than recorded as engine regressions
+    reps = [one_rep() for _ in range(REPS)]
+
+    def mark_poisoned() -> float:
+        session_best = min(min(r["cal_before"], r["cal_after"]) for r in reps)
+        bar = CAL_POISON_RATIO * session_best
+        for r in reps:
+            r["poisoned"] = max(r["cal_before"], r["cal_after"]) > bar
+        return session_best
+
+    retries = 0
+    while retries < CAL_RETRY_BUDGET:
+        mark_poisoned()
+        if not min(reps, key=lambda r: r["sec"])["poisoned"]:
+            break  # the fastest rep is clean — its time is trustworthy
+        reps.append(one_rep())
+        retries += 1
+    cal_session_best = mark_poisoned()
+    clean = [r for r in reps if not r["poisoned"]]
+    best = min(r["sec"] for r in clean) if clean else min(r["sec"] for r in reps)
+    times = [r["sec"] for r in reps]
     # per-stage execution stats of the last headline window → BENCH artifact
     from oplogtoredis_ray.pipelines import ingest as _ingest
 
@@ -113,6 +191,14 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
         "times": [round(t, 3) for t in times],
         "events": int(n_events),
         "events_per_sec": round(n_events / best, 1),
+        "calibration": {
+            "probe": "min-of-3 of sha256-64MiB + np.sort-8e6-int64 (fixed "
+                     "work, bracketing each rep; quiet-host ~0.18 s)",
+            "session_best_sec": round(cal_session_best, 3),
+            "poison_ratio": CAL_POISON_RATIO,
+            "contention_retries": retries,
+            "per_rep": reps,
+        },
     }
 
 
@@ -204,6 +290,7 @@ def _run_bench() -> None:
         "events": head["events"],
         "events_per_sec": head["events_per_sec"],
         "headline_reps": head["times"],
+        "calibration": head["calibration"],
         "windowed_delta": windowed,
     }
     print(json.dumps(result))
@@ -248,7 +335,11 @@ def _windowed_delta_run(
         window_lookahead=True,
     )
     best = None
-    for _ in range(reps):
+    rep_i = 0
+    retried = False
+    while rep_i < reps:
+        rep_i += 1
+        cal_before = _calibration_probe()
         lake = tempfile.mkdtemp(prefix="otr_bench_delta_")
         gc_stats = {"files": 0, "bytes": 0}
         stop = threading.Event()
@@ -289,6 +380,7 @@ def _windowed_delta_run(
                 if rel in referenced:
                     live_bytes += sz
         total_written = resident_bytes + gc_stats["bytes"]
+        cal_after = _calibration_probe()
         rep = {
             "sec": round(sec, 3),
             "windows": res.windows_run,
@@ -297,10 +389,24 @@ def _windowed_delta_run(
             "bytes_live": live_bytes,
             "write_amplification": round(total_written / max(live_bytes, 1), 2),
             "gc_files_removed_during_ingest": gc_stats["files"],
+            "cal_before": round(cal_before, 3),
+            "cal_after": round(cal_after, 3),
         }
         shutil.rmtree(lake, ignore_errors=True)
         if best is None or rep["sec"] < best["sec"]:
             best = rep
+        # one contention retry: if even the best rep's probes exceed the
+        # process-wide quietest probe by the poison ratio, the observation
+        # ran under contention — buy one more
+        if (
+            rep_i == reps
+            and not retried
+            and max(best["cal_before"], best["cal_after"])
+            > CAL_POISON_RATIO * _CAL_STATE.get("best", 1e9)
+        ):
+            retried = True
+            reps += 1
+    best["cal_process_best"] = round(_CAL_STATE["best"], 3)
     return best
 
 

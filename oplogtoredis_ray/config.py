@@ -104,6 +104,19 @@ class PipelineConfig:
     # vs 2.5 on the 16-window sf0.1 run).  See BASELINE.md round-4 for the
     # sweep and the floor analysis.
     compact_rows_factor: float = float("inf")
+    # leveled (partial) compaction: when the length cap fires and the chain
+    # head is a compacted BASE at least this many times larger (rows) than
+    # the delta suffix, merge ONLY the suffix into one mid-level delta and
+    # leave the base untouched — write cost per cycle drops from
+    # O(state) to O(suffix).  Right for low-churn/append-mostly partitions
+    # where the base dominates; on the update-heavy transcript mix the
+    # 12-window suffix folds to ≈ the base size and the trigger rarely
+    # fires (the floor analysis still binds).  inf = always full rewrite.
+    compact_partial_base_ratio: float = 2.0
+    # force a FULL rewrite after this many consecutive partial merges, so
+    # chain shape stays [base, mid, deltas...] and the mid level cannot
+    # accrete unboundedly
+    compact_full_every: int = 4
     # distributed salted fold: pre-fold (partition, ts-salt) sub-groups in a
     # first exchange, then apply the (much smaller) pseudo-events per
     # partition — for hot partitions too big for one task/node.  The in-task

@@ -287,6 +287,38 @@ class _ApplyActor:
             return False  # length cap already checked above
         return sum(rows[1:]) >= self.cfg.compact_rows_factor * max(rows[0], 1)
 
+    def _partial_eligible(self, chain: list[str], partials: int) -> bool:
+        """Leveled-merge gate: the chain head must be a compacted BASE at
+        least ``compact_partial_base_ratio`` × the delta suffix (rows, from
+        cached footers), and at most ``compact_full_every`` consecutive
+        partials may run before a full rewrite re-levels the chain.  On the
+        update-heavy transcript mix the suffix folds to ≈ the base and this
+        rarely fires (see config.py); on low-churn/append-mostly partitions
+        it cuts the per-cycle compaction write from O(state) to O(suffix)."""
+        import math
+        import os
+
+        if math.isinf(self.cfg.compact_partial_base_ratio):
+            return False
+        if len(chain) < 3:
+            return False  # nothing worth merging below the base
+        if "delta-" in os.path.basename(chain[0]):
+            return False  # no base yet — the first compaction builds one
+        if partials >= self.cfg.compact_full_every:
+            return False
+        base_rows = self._file_rows(chain[0])
+        if base_rows <= 0:
+            return False
+        suffix_rows = 0
+        for rel in chain[1:]:
+            r = self._file_rows(rel)
+            if r < 0:
+                return False
+            suffix_rows += r
+        return base_rows >= self.cfg.compact_partial_base_ratio * max(
+            suffix_rows, 1
+        )
+
     def _maybe_inject_finish_fault(self, window_id: str) -> None:
         """Fault-injection hook (tests only): consume the one-shot flag file
         and raise an application error MID-finish — after at least one
@@ -315,6 +347,7 @@ class _ApplyActor:
     def _compact_pid(self, pid: int) -> bool:
         from oplogtoredis_ray.state.lake import (
             merge_partition_chain,
+            write_partition_delta_arrow,
             write_partition_state_arrow,
         )
         from oplogtoredis_ray.state.manifest import commit_chain_rewrite
@@ -327,14 +360,39 @@ class _ApplyActor:
         if not self._should_compact(m):
             return False
         payload = tuple(self.cfg.payload_cols)
-        base = merge_partition_chain(self.lake_root, chain, payload)
         tag = f"{m.lineage[-1]}-bg" if m.lineage else "bg"
-        base_rel, nrows = write_partition_state_arrow(
-            self.lake_root, pid, tag, base
-        )
-        committed = commit_chain_rewrite(
-            self.lake_root, pid, chain, base_rel, nrows
-        )
+        partials = int(m.metrics.get("partials_since_full", 0))
+        if self._partial_eligible(chain, partials):
+            # leveled merge: fold ONLY the delta suffix into one mid-level
+            # delta, leaving the (dominant) base untouched — write cost
+            # O(suffix) instead of O(state); chain → [base, mid, newer...]
+            import pyarrow.parquet as pq
+
+            from oplogtoredis_ray.stages.arrow_fold import merge_deltas
+
+            import os
+
+            tables = [
+                pq.read_table(os.path.join(self.lake_root, rel))
+                for rel in chain[1:]
+            ]
+            mid = merge_deltas(tables, payload)
+            mid_rel, _ = write_partition_delta_arrow(
+                self.lake_root, pid, f"{tag}-mid", mid
+            )
+            committed = commit_chain_rewrite(
+                self.lake_root, pid, chain, mid_rel, -1, keep=1,
+                metrics_update={"partials_since_full": partials + 1},
+            )
+        else:
+            base = merge_partition_chain(self.lake_root, chain, payload)
+            base_rel, nrows = write_partition_state_arrow(
+                self.lake_root, pid, tag, base
+            )
+            committed = commit_chain_rewrite(
+                self.lake_root, pid, chain, base_rel, nrows,
+                metrics_update={"partials_since_full": 0},
+            )
         with self._lock:
             cur = self.manifests.get(pid)
             if committed is not None and (

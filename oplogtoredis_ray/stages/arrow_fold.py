@@ -262,6 +262,42 @@ def merge_chain(
     return state
 
 
+def merge_deltas(
+    tables: list[pa.Table], payload_cols: tuple[str, ...] = PAYLOAD
+) -> pa.Table:
+    """Fold a CONTIGUOUS run of delta (pseudo-event) tables into ONE
+    equivalent delta — the leveled-compaction kernel.  Sound by the fold's
+    chunk associativity (stages/fold.py module docstring): re-folding the
+    concatenated pseudo-events of ordered chunks equals folding the whole
+    slice, so replacing ``[d_i..d_j]`` with ``merge_deltas([d_i..d_j])``
+    anywhere inside a chain leaves ``merge_chain`` of that chain unchanged.
+    Unlike ``merge_chain`` this keeps the result AS pseudo-events (patches
+    stay patches — they can only resolve against the base at read time)."""
+    parts = []
+    for t in tables:
+        if "op" not in t.column_names:
+            raise ValueError(
+                "merge_deltas merges delta links only; a base/state link "
+                "must stay at the chain head (use merge_chain for a full "
+                "rewrite)"
+            )
+        cols = {
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "seq": pc.cast(t["seq"], pa.int64()),
+            "tx_idx": pc.cast(t["tx_idx"], pa.int64()),
+        }
+        for name in t.column_names:
+            if name not in cols:
+                cols[name] = t[name]
+        parts.append(pa.table(cols))
+    evs = pa.concat_tables(parts, promote_options="permissive")
+    if len(evs) == 0:
+        return evs
+    g, _, _ = order_dedup_filter(evs, (-(1 << 62), -(1 << 31), -(1 << 31)))
+    fr = fold_arrow(g, payload_cols)
+    return _pseudo_events(fr, payload_cols)
+
+
 def _pseudo_events(fr: FoldResult, payload_cols: tuple[str, ...]) -> pa.Table:
     op = np.full(len(fr.outcome), "u", dtype=object)
     op[fr.outcome == 0] = "d"

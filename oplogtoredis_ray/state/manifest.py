@@ -222,16 +222,21 @@ def commit_chain_rewrite(
     expected_prefix: list[str],
     base_rel: str,
     rows: int,
+    keep: int = 0,
+    metrics_update: dict | None = None,
 ) -> Manifest | None:
     """Prefix-CAS commit for background compaction: replace
-    ``expected_prefix`` at the head of the incumbent chain with the merged
-    base file.  Watermark and lineage are untouched — compaction changes
-    how state is stored, never what has been applied.
+    ``expected_prefix[keep:]`` with the merged file, keeping the first
+    ``keep`` links (the untouched base for a leveled/partial merge; 0 = the
+    classic full rewrite).  Watermark and lineage are untouched —
+    compaction changes how state is stored, never what has been applied.
 
     Succeeds even when folds appended new deltas after the compactor took
     its snapshot (appends only grow the suffix).  Fails — returning None,
-    the base file becomes GC garbage — when the prefix itself changed
+    the merged file becomes GC garbage — when the prefix itself changed
     (a competing consumer's inline compaction or a concurrent rewrite).
+    ``metrics_update`` entries are merged into the committed manifest's
+    metrics under the same lock (partial-merge cycle accounting).
     """
     import fcntl
 
@@ -246,18 +251,23 @@ def commit_chain_rewrite(
             current = read_manifest(lake_root, partition_id)
             chain = current.chain()
             k = len(expected_prefix)
+            if not 0 <= keep < k:
+                raise ValueError(f"keep={keep} outside expected prefix of {k}")
             if chain[:k] != expected_prefix:
                 return None
-            new_chain = [base_rel] + chain[k:]
+            new_chain = expected_prefix[:keep] + [base_rel] + chain[k:]
             single = len(new_chain) == 1
+            metrics = dict(current.metrics)
+            if metrics_update:
+                metrics.update(metrics_update)
             committed = Manifest(
                 partition_id=partition_id,
                 watermark=current.watermark,
-                state_file=base_rel if single else None,
+                state_file=new_chain[0] if single else None,
                 state_files=new_chain,
                 rows=rows if single else -1,
                 lineage=current.lineage,
-                metrics=current.metrics,
+                metrics=metrics,
             )
             _atomic_write_json(path, committed.to_json())
             return committed

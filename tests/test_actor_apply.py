@@ -339,6 +339,70 @@ class TestAsyncCompaction:
         ) is None
         assert read_manifest(lake, 0).chain()[0] == "lake/p=00000/base"
 
+    def test_chain_rewrite_keep_head_partial(self, tmp_path):
+        """keep=1 (leveled merge): the base stays, the snapshot's delta
+        suffix collapses to one mid file, later appends survive, and the
+        metrics_update lands atomically with the CAS."""
+        from oplogtoredis_ray.state.manifest import (
+            Manifest,
+            commit_chain_rewrite,
+            commit_manifest,
+        )
+
+        lake = str(tmp_path / "lake")
+        pfx = "lake/p=00001/"
+        m = Manifest(
+            partition_id=1, watermark=(10, 0, 0),
+            state_files=[pfx + "base", pfx + "d1", pfx + "d2", pfx + "d3"],
+            rows=-1, lineage=["w1", "w2", "w3"],
+        )
+        assert commit_manifest(lake, m)
+        # a fold appends d4 after the compactor snapshot
+        m2 = Manifest(
+            partition_id=1, watermark=(20, 0, 0),
+            state_files=m.state_files + [pfx + "d4"],
+            rows=-1, lineage=m.lineage + ["w4"],
+        )
+        assert commit_manifest(lake, m2)
+        committed = commit_chain_rewrite(
+            lake, 1, m.state_files, pfx + "mid", -1, keep=1,
+            metrics_update={"partials_since_full": 1},
+        )
+        assert committed is not None
+        assert committed.chain() == [pfx + "base", pfx + "mid", pfx + "d4"]
+        assert committed.metrics["partials_since_full"] == 1
+        assert committed.lineage == ["w1", "w2", "w3", "w4"]
+        # keep must lie inside the expected prefix
+        with pytest.raises(ValueError, match="keep"):
+            commit_chain_rewrite(lake, 1, [pfx + "base"], pfx + "x", -1, keep=1)
+
+    def test_leveled_compaction_ingest_matches_oracle(
+        self, log_dir, log_df, tmp_lake
+    ):
+        """e2e: force the leveled path (ratio 0 → every post-base compaction
+        is a suffix merge; full_every=2 forces a periodic re-level) across
+        10 windows — the lake must still equal the sequential oracle and
+        the chain cap must hold after the drain sweep."""
+        cfg = _cfg(
+            log_dir, 10, state_mode="delta", compact_threshold=2,
+            window_lookahead=True, lookahead_depth=3,
+            compact_partial_base_ratio=0.0, compact_full_every=2,
+        )
+        res = run_ingest(log_dir, tmp_lake, cfg)
+        assert res.windows_run == 10
+        _assert_matches_oracle(tmp_lake, log_df)
+        chains = [len(m.chain()) for m in read_all_manifests(tmp_lake)]
+        assert max(chains) <= cfg.compact_threshold + 1, chains
+        # the leveled path really ran: some partition carries the partial
+        # cycle counter and/or a mid-level delta in its chain
+        ms = read_all_manifests(tmp_lake)
+        assert any("partials_since_full" in m.metrics for m in ms)
+        assert any(
+            "-mid-" in f for m in ms for f in m.chain()
+        ) or any(
+            int(m.metrics.get("partials_since_full", 0)) > 0 for m in ms
+        )
+
     def test_delta_append_composes_with_rewrite(self, tmp_path):
         """commit_delta_append appends to the INCUMBENT chain — a fold
         whose cached view predates a background compaction must not

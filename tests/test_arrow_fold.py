@@ -122,6 +122,51 @@ def test_custom_payload_cols_survive_merge():
     assert list(state.column_names) == ["conv_id", "turn_idx", "role", "text", "summary", "ts"]
 
 
+def test_merge_deltas_leveled_equivalence():
+    """The leveled-compaction kernel: replacing a chain's delta suffix with
+    merge_deltas(suffix) must leave merge_chain unchanged (chunk
+    associativity of the fold).  Dup-free spec: the real pipeline's
+    watermark guarantees deltas never carry cross-window replays, the
+    invariant this kernel inherits."""
+    from oplogtoredis_ray.stages.arrow_fold import (
+        fold_arrow,
+        merge_chain,
+        merge_deltas,
+        pseudo_events_table,
+    )
+
+    log = generate_event_log(
+        GeneratorSpec(seed=23, n_conversations=50, duplicate_rate=0.0, txn_rate=0.1)
+    )
+    df = log[COLS].sort_values(["ts", "seq", "tx_idx"], kind="mergesort")
+    deltas = []
+    for c in np.array_split(df, 5):
+        t = _to_table(c.reset_index(drop=True))
+        g, _, _ = order_dedup_filter(t, (-1, -1, -1))
+        deltas.append(pseudo_events_table(fold_arrow(g)))
+    base_state = merge_chain([deltas[0]])
+    suffix = deltas[1:]
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        out = t.to_pandas()
+        out["ts"] = out["ts"].astype("int64")
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    whole = canon(merge_chain([base_state] + suffix))
+    leveled = canon(merge_chain([base_state, merge_deltas(suffix)]))
+    pd.testing.assert_frame_equal(leveled, whole, check_dtype=False)
+    # and it equals the straight-line oracle
+    pd.testing.assert_frame_equal(whole, oracle_apply(log), check_dtype=False)
+    # merging only part of the suffix is equally sound (mid-level shapes)
+    part = canon(
+        merge_chain([base_state, merge_deltas(suffix[:2])] + suffix[2:])
+    )
+    pd.testing.assert_frame_equal(part, whole, check_dtype=False)
+    # a base (state) link must be rejected — patches cannot resolve here
+    with pytest.raises(ValueError, match="delta links only"):
+        merge_deltas([base_state])
+
+
 def test_identity_collision_across_keys_not_swallowed():
     """Two DIFFERENT keys sharing an identity triple are both kept (counted
     replays are same-key only)."""

@@ -56,6 +56,18 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--deny", action="append", default=[])
     pi.add_argument("--num-cpus", type=int, default=None)
     pi.add_argument("--max-windows", type=int, default=None)
+    pi.add_argument(
+        "--state-mode", choices=["rewrite", "delta"], default=None,
+        help="lake layout (default: dataclass default, rewrite)",
+    )
+    pi.add_argument("--compact-threshold", type=int, default=None)
+    pi.add_argument(
+        "--apply-mode", choices=["auto", "tasks", "actors"], default=None,
+    )
+    pi.add_argument(
+        "--lookahead", action="store_true",
+        help="pipelined window lookahead (grouped actor feeds)",
+    )
 
     pf = sub.add_parser("follow", help="continuously tail a growing log dir")
     pf.add_argument("--log", required=True)
@@ -123,6 +135,14 @@ def main(argv: list[str] | None = None) -> int:
         kwargs = {"window_us": window, "denylist": frozenset(args.deny)}
         if args.partitions is not None:  # unset → dataclass default (one
             kwargs["num_partitions"] = args.partitions  # source of truth)
+        if args.state_mode is not None:
+            kwargs["state_mode"] = args.state_mode
+        if args.compact_threshold is not None:
+            kwargs["compact_threshold"] = args.compact_threshold
+        if args.apply_mode is not None:
+            kwargs["apply_mode"] = args.apply_mode
+        if args.lookahead:
+            kwargs["window_lookahead"] = True
         cfg = PipelineConfig(**kwargs)
         res = run_ingest(args.log, args.lake, cfg, max_windows=args.max_windows)
         print(

@@ -588,6 +588,11 @@ def _run_scaling() -> None:
                 "windowed2_events_per_sec_8": w2_lo["events_per_sec"],
                 "windowed2_events_per_sec_32": w2_hi["events_per_sec"],
                 "windowed2_scaling_efficiency": round(w2_eff, 3),
+                # per-child self-adjudication: probe times bracketing every
+                # headline rep (see _calibration_probe) — a low efficiency
+                # with poisoned reps reads as host contention, not engine
+                "calibration_8": r_lo.get("calibration"),
+                "calibration_32": r_hi.get("calibration"),
             }
         )
     )

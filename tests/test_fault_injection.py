@@ -184,10 +184,10 @@ def test_sigkill_16window_grouped_delta_past_compaction_cap(tmp_path):
     from oplogtoredis_ray.state.manifest import read_all_manifests
 
     d = tmp_path / "biglog"
-    # denser log than the module fixture so every partition's chain really
-    # crosses 12 deltas before window 13
+    # dense log: every partition's chain crosses 12 deltas before window
+    # 13, and windows are slow enough that the kill lands between commits
     log = generate_event_log(
-        GeneratorSpec(seed=77, n_conversations=300, duplicate_rate=0.02, txn_rate=0.05)
+        GeneratorSpec(seed=77, n_conversations=900, duplicate_rate=0.02, txn_rate=0.05)
     )
     write_event_log(log, str(d))
     log_dir = str(d)
@@ -214,10 +214,11 @@ def test_sigkill_16window_grouped_delta_past_compaction_cap(tmp_path):
             if done >= 13 and p.poll() is None:
                 _killpg(p)
                 killed = True
+                killed_at = done
                 break
         if p.poll() is not None:
             break  # finished first — still a valid cap/resume test
-        time.sleep(0.1)
+        time.sleep(0.02)
     try:
         p.communicate(timeout=60)
     except subprocess.TimeoutExpired:
@@ -242,5 +243,6 @@ def test_sigkill_16window_grouped_delta_past_compaction_cap(tmp_path):
     done = len(json.load(open(windows_json))["windows"])
     assert done >= 16
     if killed:
+        assert killed_at >= 13  # the cap-crossing cycle ran before the kill
         r2 = json.loads(out2.strip().splitlines()[-1])
         assert r2["events_in"] < len(log)  # bounded re-processing

@@ -287,7 +287,11 @@ def q_resume_point(sf_dir: str):
     per_shard = q_shard_watermarks(sf_dir).to_pandas()
     return pd.DataFrame(
         {
-            "resume_ts": [per_shard["max_ts"].min()],
+            # pin µs so every harness (not just the driver's normalizing
+            # compare) sees the parquet/oracle timestamp resolution
+            "resume_ts": pd.Series([per_shard["max_ts"].min()]).astype(
+                "datetime64[us]"
+            ),
             "num_shards": [np.int64(len(per_shard))],
         }
     )
@@ -384,8 +388,18 @@ def q_interval_max(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return ds.groupby("bucket").aggregate(
+    agg = ds.groupby("bucket").aggregate(
         Max("value", alias_name="max_value"), Count(alias_name="n")
+    )
+    # Ray's sort-aggregate re-infers the hour-floored key as timestamp[s];
+    # cast back so the result schema is the parquet/oracle timestamp[us]
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("bucket"),
+            "bucket",
+            pc.cast(t["bucket"], pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
     )
 
 

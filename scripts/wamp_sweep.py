@@ -79,18 +79,47 @@ def _measure(log_dir: str, cfg, n_events: int) -> dict:
             if os.path.relpath(p, lake) in referenced:
                 live += sz
     total = resident + gc_stats["bytes"]
+    # canonical denominator: the FULLY-compacted state written once as
+    # parquet — timing-independent, unlike referenced-bytes (a background
+    # compaction finishing one window earlier/later swings the live chain
+    # composition and with it the classic ratio by >1×; measured r5)
+    import pyarrow.parquet as pq
+
+    from oplogtoredis_ray.state.lake import read_partition_state_arrow
+
+    compacted = 0
+    cdir = tempfile.mkdtemp(prefix="otr_wamp_c_")
+    for m in read_all_manifests(lake):
+        t = read_partition_state_arrow(lake, m, tuple(cfgpay(lake)))
+        p = os.path.join(cdir, f"{m.partition_id}.parquet")
+        pq.write_table(t, p)
+        compacted += os.path.getsize(p)
+    shutil.rmtree(cdir, ignore_errors=True)
     out = {
         "sec": round(sec, 3),
         "windows": res.windows_run,
         "events": n_events,
         "bytes_written_total": total,
         "bytes_live": live,
+        "bytes_state_compacted": compacted,
         "write_amplification": round(total / max(live, 1), 2),
+        "write_amplification_vs_compacted": round(total / max(compacted, 1), 2),
         "gc_files_removed": gc_stats["files"],
         "partitions_with_mid_level": partials,
     }
     shutil.rmtree(lake, ignore_errors=True)
     return out
+
+
+def cfgpay(lake: str) -> tuple:
+    """Payload columns pinned by the lake's layout guard."""
+    import json as _json
+
+    p = os.path.join(lake, "lake_config.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return tuple(_json.load(f).get("payload_cols", ("role", "text", "tool")))
+    return ("role", "text", "tool")
 
 
 def standard_row() -> dict:

@@ -758,7 +758,10 @@ def q_ngram_jaccard(sf_dir: str):
             }
         )
 
-    sizes = ds.map_batches(gram_sizes, batch_format="pyarrow")
+    # one row per candidate doc; materialize so the two join exchanges
+    # below don't re-execute the documents read + gram pass (blocks live
+    # in the OBJECT STORE, not on the driver — scale-safe)
+    sizes = ds.map_batches(gram_sizes, batch_format="pyarrow").materialize()
 
     # two-level grouping: the distributed exchange groups on a coarse
     # deterministic gram-hash bucket; the task segments its block by exact

@@ -112,6 +112,31 @@ def _tune_host() -> None:
         pass
 
 
+def _historical_reference(session_best: float) -> dict:
+    """Quietest probe across archived BENCH/*.json artifacts (absolute
+    cross-session reference for this box); empty when no history exists."""
+    best = None
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for p in glob.glob(os.path.join(bench_dir, "*.json")):
+        try:
+            with open(p) as f:
+                txt = f.read()
+        except OSError:
+            continue
+        import re
+
+        for m in re.finditer(r'"session_best_sec"\s*:\s*([0-9.]+)', txt):
+            v = float(m.group(1))
+            if best is None or v < best:
+                best = v
+    if best is None:
+        return {}
+    return {
+        "reference_quiet_sec": best,
+        "session_contended": session_best > 1.15 * best,
+    }
+
+
 def _headline(sf_dir: str, num_cpus: int) -> dict:
     from oplogtoredis_ray.config import PipelineConfig
     from oplogtoredis_ray.pipelines.ingest import run_ingest, warmup_cluster
@@ -198,6 +223,11 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
             "poison_ratio": CAL_POISON_RATIO,
             "contention_retries": retries,
             "per_rep": reps,
+            # the poison gate is session-RELATIVE; compare session_best
+            # against the quietest probe EVER recorded in BENCH/*.json to
+            # spot sessions that were contended end-to-end (all-clean
+            # flags, uniformly slow probes)
+            **_historical_reference(cal_session_best),
         },
     }
 

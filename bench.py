@@ -83,6 +83,36 @@ def _calibration_probe() -> float:
     return dt
 
 
+def _calibration_probe_mt() -> float:
+    """Auxiliary MULTICORE probe (recorded, not gated on): 8 threads each
+    sha256-ing 32 MiB concurrently (hashlib releases the GIL on large
+    buffers), min-of-3.  A co-tenant stealing whole cores shows up here
+    long before it moves the single-core probe — the 32-way headline is
+    closer to this shape.  Quiet-host ~0.04-0.08 s; noisier than the
+    single-core probe, hence informational only."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    if "mt_bufs" not in _CAL_STATE:
+        _CAL_STATE["mt_bufs"] = [
+            np.arange(4 * 1024 * 1024, dtype=np.int64).tobytes()
+            for _ in range(8)
+        ]
+        _CAL_STATE["mt_pool"] = ThreadPoolExecutor(8)
+
+    def work(b: bytes) -> None:
+        hashlib.sha256(b).digest()
+
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        list(_CAL_STATE["mt_pool"].map(work, _CAL_STATE["mt_bufs"]))
+        trials.append(time.perf_counter() - t0)
+    return min(trials)
+
+
 def _quiet_empty_schema_warnings() -> None:
     """Our stages emit schema-typed blocks everywhere (incl. empties), but
     Ray's sort-shuffle itself produces schema-LESS empty blocks for reduce
@@ -167,16 +197,20 @@ def _headline(sf_dir: str, num_cpus: int) -> dict:
 
     def one_rep() -> dict:
         cal_before = _calibration_probe()
+        mt_before = _calibration_probe_mt()
         lake_root = tempfile.mkdtemp(prefix="otr_bench_lake_")
         t0 = time.perf_counter()
         run_ingest(log_dir, lake_root, cfg)
         sec = time.perf_counter() - t0
         shutil.rmtree(lake_root, ignore_errors=True)
         cal_after = _calibration_probe()
+        mt_after = _calibration_probe_mt()
         return {
             "sec": round(sec, 3),
             "cal_before": round(cal_before, 3),
             "cal_after": round(cal_after, 3),
+            "cal_mt_before": round(mt_before, 3),
+            "cal_mt_after": round(mt_after, 3),
         }
 
     # self-adjudicating reps: the fixed-work probe brackets each rep; reps

@@ -187,6 +187,15 @@ def commit_delta_append(
             current = read_manifest(lake_root, pid)
             if wid in set(current.lineage):
                 return None  # a faster competing consumer won this window
+            # window commits rebuild the metrics dict fresh; carry the
+            # compactor's cycle counter forward from the INCUMBENT (same
+            # lock the compactor's CAS holds) or `compact_full_every`
+            # would never see a consecutive-partials streak
+            metrics = dict(new_manifest.metrics)
+            if "partials_since_full" in current.metrics:
+                metrics.setdefault(
+                    "partials_since_full", current.metrics["partials_since_full"]
+                )
             if delta_rel is None:
                 # lineage-only advance (empty window): the chain layout —
                 # including a compacted base's plain-state pointer and
@@ -198,7 +207,7 @@ def commit_delta_append(
                     state_files=list(current.state_files),
                     rows=current.rows,
                     lineage=current.lineage + [wid],
-                    metrics=new_manifest.metrics,
+                    metrics=metrics,
                 )
             else:
                 committed = Manifest(
@@ -208,7 +217,7 @@ def commit_delta_append(
                     state_files=current.chain() + [delta_rel],
                     rows=-1,
                     lineage=current.lineage + [wid],
-                    metrics=new_manifest.metrics,
+                    metrics=metrics,
                 )
             _atomic_write_json(path, committed.to_json())
             return committed

@@ -376,6 +376,51 @@ class TestAsyncCompaction:
         with pytest.raises(ValueError, match="keep"):
             commit_chain_rewrite(lake, 1, [pfx + "base"], pfx + "x", -1, keep=1)
 
+    def test_window_commit_carries_partial_cycle_counter(self, tmp_path):
+        """Window commits rebuild metrics fresh; the compactor's
+        partials_since_full counter must survive them or compact_full_every
+        can never see a consecutive-partials streak."""
+        from oplogtoredis_ray.state.manifest import (
+            Manifest,
+            commit_chain_rewrite,
+            commit_delta_append,
+            commit_manifest,
+        )
+
+        lake = str(tmp_path / "lake")
+        pfx = "lake/p=00002/"
+        m = Manifest(
+            partition_id=2, watermark=(10, 0, 0),
+            state_files=[pfx + "base", pfx + "d1", pfx + "d2"],
+            rows=-1, lineage=["w1", "w2"],
+        )
+        assert commit_manifest(lake, m)
+        assert commit_chain_rewrite(
+            lake, 2, m.state_files, pfx + "mid", -1, keep=1,
+            metrics_update={"partials_since_full": 2},
+        ) is not None
+        # a later window commits with a freshly-built metrics dict
+        fold_view = Manifest(
+            partition_id=2, watermark=(30, 0, 0),
+            state_files=[pfx + "base", pfx + "mid"],
+            rows=-1, lineage=["w1", "w2", "w3"],
+            metrics={"last_window": "w3", "events_applied": 5},
+        )
+        committed = commit_delta_append(lake, fold_view, pfx + "d3")
+        assert committed is not None
+        assert committed.metrics["partials_since_full"] == 2
+        assert committed.metrics["last_window"] == "w3"
+        # lineage-only (empty window) commits carry it too
+        empty_view = Manifest(
+            partition_id=2, watermark=(30, 0, 0),
+            state_files=committed.state_files, rows=-1,
+            lineage=committed.lineage + ["w4"],
+            metrics={"last_window": "w4"},
+        )
+        committed2 = commit_delta_append(lake, empty_view, None)
+        assert committed2 is not None
+        assert committed2.metrics["partials_since_full"] == 2
+
     def test_leveled_compaction_ingest_matches_oracle(
         self, log_dir, log_df, tmp_lake
     ):

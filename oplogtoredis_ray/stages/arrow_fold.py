@@ -289,6 +289,12 @@ def merge_deltas(
         for name in t.column_names:
             if name not in cols:
                 cols[name] = t[name]
+        # null-fill configured payload columns a pre-evolution link lacks
+        # (same per-link rule merge_partition_chain applies): the fold
+        # kernels index table[c] directly
+        for c in payload_cols:
+            if c not in cols:
+                cols[c] = pa.nulls(len(t), pa.string())
         parts.append(pa.table(cols))
     evs = pa.concat_tables(parts, promote_options="permissive")
     if len(evs) == 0:

@@ -167,6 +167,39 @@ def test_merge_deltas_leveled_equivalence():
         merge_deltas([base_state])
 
 
+def test_merge_deltas_schema_evolution_null_fills():
+    """A pre-evolution delta link lacking a configured payload column must
+    be null-filled before the suffix fold (same per-link rule as
+    merge_partition_chain) — the fold kernels index table[c] directly."""
+    from oplogtoredis_ray.stages.arrow_fold import merge_chain, merge_deltas
+
+    d_old = pa.table({  # pre-evolution: no `tool`
+        "ts": pa.array([1, 2], type=pa.int64()),
+        "seq": pa.array([0, 1], type=pa.int64()),
+        "tx_idx": pa.array([0, 0], type=pa.int64()),
+        "op": pa.array(["i", "u"]),
+        "conv_id": pa.array(["c", "c"]),
+        "turn_idx": pa.array([0, 0], type=pa.int32()),
+        "role": pa.array(["user", None]),
+        "text": pa.array(["a", "b"]),
+    })
+    d_new = pa.table({
+        "ts": pa.array([3], type=pa.int64()),
+        "seq": pa.array([2], type=pa.int64()),
+        "tx_idx": pa.array([0], type=pa.int64()),
+        "op": pa.array(["u"]),
+        "conv_id": pa.array(["c"]),
+        "turn_idx": pa.array([0], type=pa.int32()),
+        "role": pa.array([None], type=pa.string()),
+        "text": pa.array([None], type=pa.string()),
+        "tool": pa.array(["T"]),
+    })
+    lev = merge_chain([merge_deltas([d_old, d_new])]).to_pandas()
+    assert merge_chain([d_old, d_new]).to_pandas().equals(lev)
+    rec = lev.to_dict("records")[0]
+    assert rec["text"] == "b" and rec["tool"] == "T" and rec["role"] == "user"
+
+
 def test_identity_collision_across_keys_not_swallowed():
     """Two DIFFERENT keys sharing an identity triple are both kept (counted
     replays are same-key only)."""
